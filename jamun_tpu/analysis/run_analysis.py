@@ -1,0 +1,158 @@
+"""Per-peptide ensemble-quality analysis pipeline.
+
+Reference: `/root/reference/analysis/run_analysis.py:145-240` — torsion
+featurization -> feature histograms -> PMFs -> torsion JSD (+ vs time) -> TICA
+-> TICA JSDs -> KMeans+MSM metastable-state JSD, comparing sampled vs
+reference-MD trajectories. Host-side numpy throughout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import pickle
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from jamun_tpu.analysis.msm import MSM, kmeans
+from jamun_tpu.analysis.tica import TICA
+from jamun_tpu.data.topology import Topology
+from jamun_tpu.metrics.dihedrals import compute_phi_psi
+from jamun_tpu.metrics.divergences import histogram_jsd_2d, jensen_shannon_divergence
+
+log = logging.getLogger("jamun_tpu")
+
+__all__ = ["featurize_torsions", "pmf_1d", "analyze_trajectories"]
+
+
+def featurize_torsions(topology: Topology, pos: np.ndarray) -> np.ndarray:
+    """[T, n_atoms, 3] -> [T, 2m] (cos/sin-safe raw angles phi ++ psi)."""
+    phi, psi = compute_phi_psi(topology, pos)
+    return np.concatenate([phi, psi], axis=-1)
+
+
+def pmf_1d(x: np.ndarray, bins: int = 60, range_=(-np.pi, np.pi), kT: float = 1.0):
+    hist, edges = np.histogram(x, bins=bins, range=range_, density=True)
+    with np.errstate(divide="ignore"):
+        pmf = -kT * np.log(hist)
+    pmf -= np.nanmin(pmf[np.isfinite(pmf)])
+    return pmf, edges
+
+
+def _feature_jsds(f_pred: np.ndarray, f_ref: np.ndarray, bins: int = 50) -> List[float]:
+    out = []
+    for j in range(f_pred.shape[1]):
+        h1, _ = np.histogram(f_pred[:, j], bins=bins, range=(-np.pi, np.pi))
+        h2, _ = np.histogram(f_ref[:, j], bins=bins, range=(-np.pi, np.pi))
+        out.append(jensen_shannon_divergence(h1, h2))
+    return out
+
+
+def analyze_trajectories(
+    topology: Topology,
+    pred_pos: np.ndarray,
+    ref_pos: np.ndarray,
+    tica_lag: int = 1000,
+    n_clusters: int = 50,
+    msm_lag: int = 10,
+    bins: int = 50,
+) -> Dict[str, Any]:
+    """Full quality comparison of a sampled ensemble vs reference MD."""
+    f_pred = featurize_torsions(topology, pred_pos)
+    f_ref = featurize_torsions(topology, ref_pos)
+    m = f_pred.shape[1] // 2
+    result: Dict[str, Any] = {
+        "num_pred_frames": len(f_pred),
+        "num_ref_frames": len(f_ref),
+        "torsion_jsds": _feature_jsds(f_pred, f_ref, bins),
+    }
+    result["torsion_jsd_mean"] = float(np.mean(result["torsion_jsds"])) if m else 0.0
+    if m:
+        result["ramachandran_jsd"] = histogram_jsd_2d(
+            f_pred[:, :m], f_pred[:, m:], f_ref[:, :m], f_ref[:, m:], bins=bins
+        )
+        # JSD vs number of samples (convergence curve)
+        curve = []
+        for n in np.unique(np.geomspace(10, len(f_pred), 8).astype(int)):
+            curve.append(
+                (int(n), histogram_jsd_2d(f_pred[:n, :m], f_pred[:n, m:], f_ref[:, :m], f_ref[:, m:], bins=bins))
+            )
+        result["jsd_vs_num_samples"] = curve
+
+    # TICA on cos/sin embedding of reference; project both
+    emb_ref = np.concatenate([np.cos(f_ref), np.sin(f_ref)], axis=-1)
+    emb_pred = np.concatenate([np.cos(f_pred), np.sin(f_pred)], axis=-1)
+    lag = min(tica_lag, max(len(emb_ref) // 10, 1))
+    try:
+        tica = TICA(lag=lag, dim=4).fit([emb_ref])
+        t_ref = tica.transform(emb_ref)
+        t_pred = tica.transform(emb_pred)
+        lo, hi = t_ref[:, 0].min(), t_ref[:, 0].max()
+        h1, _ = np.histogram(t_pred[:, 0], bins=bins, range=(lo, hi))
+        h2, _ = np.histogram(t_ref[:, 0], bins=bins, range=(lo, hi))
+        result["tica0_jsd"] = jensen_shannon_divergence(h1, h2)
+        if t_ref.shape[1] >= 2:
+            r2 = ((lo, hi), (t_ref[:, 1].min(), t_ref[:, 1].max()))
+            H1, _, _ = np.histogram2d(t_pred[:, 0], t_pred[:, 1], bins=bins, range=r2)
+            H2, _, _ = np.histogram2d(t_ref[:, 0], t_ref[:, 1], bins=bins, range=r2)
+            result["tica01_jsd"] = jensen_shannon_divergence(H1, H2)
+
+        # KMeans + MSM metastable-state probabilities
+        k = min(n_clusters, max(len(t_ref) // 10, 2))
+        centers, _ = kmeans(t_ref[:, :2], k, seed=0)
+
+        def discretize(t):
+            d2 = ((t[:, None, :2] - centers[None]) ** 2).sum(-1)
+            return d2.argmin(1)
+
+        msm_ref = MSM(lag=min(msm_lag, max(len(t_ref) // 20, 1)), n_states=k).fit([discretize(t_ref)])
+        probs_ref = np.zeros(k)
+        np.add.at(probs_ref, discretize(t_ref), 1.0)
+        probs_pred = np.zeros(k)
+        np.add.at(probs_pred, discretize(t_pred), 1.0)
+        result["msm_state_jsd"] = jensen_shannon_divergence(probs_pred, probs_ref)
+        result["msm_stationary"] = msm_ref.stationary_distribution_.tolist()
+    except (ValueError, np.linalg.LinAlgError) as e:
+        log.warning("TICA/MSM stage skipped: %s", e)
+    return result
+
+
+def main(argv=None):
+    from jamun_tpu.data.datasets import TrajectoryDataset
+    from jamun_tpu.data.dcd import read_dcd
+    from jamun_tpu.data.topology import load_pdb, preprocess_topology
+
+    parser = argparse.ArgumentParser(description="Analyze sampled vs reference trajectories")
+    parser.add_argument("--pdb", required=True)
+    parser.add_argument("--pred", required=True, help=".dcd/.npy predicted trajectory")
+    parser.add_argument("--ref", required=True, help=".dcd/.npy/.npz reference trajectory")
+    parser.add_argument("--out", default="analysis_result.json")
+    parser.add_argument("--tica-lag", type=int, default=1000)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    top_full, pos0 = load_pdb(args.pdb)
+    template, top, _ = preprocess_topology(top_full, pos0[0] if len(pos0) else None)
+
+    def load(path):
+        if path.endswith(".dcd"):
+            return read_dcd(path)
+        if path.endswith(".npz"):
+            return np.load(path)["positions"]
+        return np.load(path)
+
+    pred, ref = load(args.pred), load(args.ref)
+    heavy = np.asarray(top_full.select_protein_heavy())
+    if ref.shape[1] == top_full.n_atoms:
+        ref = ref[:, heavy]
+    result = analyze_trajectories(top, pred, ref, tica_lag=args.tica_lag)
+    with open(args.out, "w") as f:
+        json.dump({k: v for k, v in result.items() if not isinstance(v, np.ndarray)}, f, indent=2, default=float)
+    log.info("wrote %s", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""`jamun-tpu-sample`: walk-jump sampling entry point.
+
+Reference: `/root/reference/src/jamun/cmdline/sample.py:41-138`. Flow: compose
+config -> resolve checkpoint -> restore denoiser state -> init graphs from
+datasets -> Sampler with metric callbacks -> sample.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pickle
+
+import numpy as np
+
+from jamun_tpu.cmdline.common import build_denoiser, build_optimizer, setup_logging
+from jamun_tpu.config.compose import compose
+from jamun_tpu.config.instantiate import instantiate
+from jamun_tpu.data.batching import collate
+from jamun_tpu.metrics.base import MeasureSamplingTimeCallback, TrajectoryMetricCallback
+from jamun_tpu.metrics.chemical_validity import ChemicalValidityMetrics
+from jamun_tpu.metrics.ramachandran import RamachandranMetrics
+from jamun_tpu.metrics.save_trajectory import SaveTrajectory
+from jamun_tpu.sampling.sampler import Sampler
+from jamun_tpu.train.checkpoints import find_checkpoint, restore_checkpoint
+from jamun_tpu.train.state import create_train_state
+
+log = logging.getLogger("jamun_tpu")
+
+DEFAULT_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "config", "defaults")
+
+
+def get_initial_graphs(datasets, num_init_samples: int, repeat: int, seed: int = 0):
+    """Starting structures: `num_init_samples` frames per dataset, repeated
+    `repeat` times (reference `cmdline/sample.py:27-38`)."""
+    rng = np.random.default_rng(seed)
+    items, graph_to_dataset = [], []
+    for d_i, ds in enumerate(datasets):
+        idx = rng.choice(len(ds), size=min(num_init_samples, len(ds)), replace=False)
+        for i in idx:
+            for _ in range(repeat):
+                items.append(ds[int(i)])
+                graph_to_dataset.append(d_i)
+    return collate(items), graph_to_dataset
+
+
+def run(cfg) -> None:
+    import jax
+
+    from jamun_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    if cfg.get("init_datasets") is None:
+        raise ValueError("init_datasets must be configured for sampling")
+    datasets = instantiate(cfg["init_datasets"])
+
+    ckpt_path = find_checkpoint(cfg["checkpoint_dir"], cfg.get("checkpoint_type", "best_so_far"))
+    log.info("loading checkpoint %s", ckpt_path)
+
+    # Rebuild the model from the training config stored next to the checkpoint
+    # (hyperparameters-in-checkpoint parity, `denoiser.py:35`).
+    run_dir = os.path.dirname(os.path.dirname(ckpt_path))
+    train_cfg_path = os.path.join(run_dir, "config.pkl")
+    if os.path.exists(train_cfg_path):
+        with open(train_cfg_path, "rb") as f:
+            model_cfg = pickle.load(f)["model"]
+    else:
+        model_cfg = cfg.get("model") or compose(DEFAULT_CONFIG_DIR, "train")["model"]
+
+    init_graphs, graph_to_dataset = get_initial_graphs(
+        datasets,
+        cfg.get("num_init_samples_per_dataset", 1),
+        cfg.get("repeat_init_samples", 1),
+        seed=cfg.get("seed", 0),
+    )
+
+    asd = model_cfg.get("average_squared_distance") or 0.5
+    denoiser = build_denoiser(model_cfg, asd)
+    optimizer = build_optimizer(model_cfg)
+    state = create_train_state(denoiser, optimizer, init_graphs, seed=0)
+    state = restore_checkpoint(ckpt_path, state)
+    params = state.ema_params  # sample with EMA weights
+
+    batch_sampler = instantiate(cfg["batch_sampler"])
+
+    out_dir = cfg.get("output_dir", "sampler")
+    metrics_per_dataset = [
+        [SaveTrajectory(ds, out_dir), RamachandranMetrics(ds), ChemicalValidityMetrics(ds)]
+        for ds in datasets
+    ]
+
+    class _AllMetricsCallback(TrajectoryMetricCallback):
+        """Routes each sampled graph to every metric of its dataset."""
+
+        def on_after_sample_batch(self, sample, sampler, **kwargs):
+            for s in sample:
+                d = graph_to_dataset[s.get("graph_index", 0)]
+                for m in metrics_per_dataset[d]:
+                    m.update(s)
+
+    callbacks = [
+        _AllMetricsCallback([m for ms in metrics_per_dataset for m in ms]),
+        MeasureSamplingTimeCallback(),
+    ]
+
+    sampler = Sampler(callbacks=callbacks)
+    log.info("devices: %s", jax.devices())
+    sampler.sample(
+        denoiser,
+        params,
+        batch_sampler,
+        num_batches=cfg.get("num_batches", 5),
+        init_graphs=init_graphs,
+        continue_chain=cfg.get("continue_chain", True),
+        seed=cfg.get("seed", 0),
+    )
+
+
+def main(argv=None):
+    setup_logging()
+    parser = argparse.ArgumentParser(description="Walk-jump sampling with a trained denoiser")
+    parser.add_argument("--config-dir", default=DEFAULT_CONFIG_DIR)
+    parser.add_argument("--config-name", default="sample")
+    parser.add_argument("--experiment-dir", default="configs/experiment")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+    cfg = compose(args.config_dir, args.config_name, args.overrides, args.experiment_dir)
+    try:
+        run(cfg)
+    except Exception:
+        log.exception("sampling failed")
+        raise
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""`jamun-tpu-train`: config-driven training entry point.
+
+Reference: `/root/reference/src/jamun/cmdline/train.py:37-113` (Hydra +
+Lightning there). Flow: compose config -> datasets -> optional normalization
+pre-pass -> Denoiser + optimizer -> Trainer.fit (+ checkpoint resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+from jamun_tpu.cmdline.common import build_denoiser, build_optimizer, setup_logging
+from jamun_tpu.config.compose import compose
+from jamun_tpu.config.instantiate import instantiate
+from jamun_tpu.data.datamodule import DataModule
+from jamun_tpu.train.loggers import ConsoleLogger, CSVLogger, MultiLogger, maybe_wandb_logger
+from jamun_tpu.train.loop import Trainer, TrainerConfig
+from jamun_tpu.utils.average_squared_distance import compute_average_squared_distance_from_datasets
+
+log = logging.getLogger("jamun_tpu")
+
+DEFAULT_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "config", "defaults")
+
+
+def run(cfg) -> None:
+    import jax
+
+    from jamun_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    datasets = instantiate(cfg["data"]["datasets"])
+    val_cfg = cfg["data"].get("val_datasets")
+    val_datasets = instantiate(val_cfg) if val_cfg else []
+
+    dm_cfg = dict(cfg["data"]["datamodule"])
+    dm_cfg.pop("_target_", None)
+    datamodule = DataModule(datasets=datasets, val_datasets=val_datasets, **dm_cfg)
+
+    asd = cfg["model"].get("average_squared_distance")
+    if asd is None and cfg.get("compute_average_squared_distance", True):
+        cutoff = float(cfg["model"].get("max_radius") or 1.0)
+        asd = compute_average_squared_distance_from_datasets(datasets, cutoff)
+        log.info("computed average_squared_distance=%.6f", asd)
+
+    denoiser = build_denoiser(cfg["model"], asd)
+    optimizer = build_optimizer(cfg["model"])
+    sigma_distribution = instantiate(cfg["model"]["sigma"])
+
+    trainer_cfg = dict(cfg["trainer"])
+    trainer_cfg.pop("_target_", None)
+    trainer_cfg["ema_decay"] = cfg["model"].get("ema_decay", trainer_cfg.get("ema_decay", 0.999))
+    tconf = TrainerConfig(**trainer_cfg)
+
+    run_dir = os.path.join("runs", str(cfg.get("run_key", "run")))
+    os.makedirs(run_dir, exist_ok=True)
+    tconf.checkpoint_dir = os.path.join(run_dir, "checkpoints")
+
+    # Persist the resolved config (incl. computed normalization) next to the
+    # checkpoints so sampling can fully reconstruct the model — the analog of
+    # Lightning's save_hyperparameters (reference denoiser.py:35).
+    import pickle
+
+    import yaml
+
+    resolved = dict(cfg)
+    resolved.setdefault("model", {})
+    resolved["model"] = dict(resolved["model"], average_squared_distance=float(asd))
+    with open(os.path.join(run_dir, "config.pkl"), "wb") as f:
+        pickle.dump(resolved, f)
+    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump({k: v for k, v in resolved.items() if k != "__global_package__"}, f)
+    loggers = MultiLogger(
+        ConsoleLogger(),
+        CSVLogger(run_dir),
+        maybe_wandb_logger(cfg.get("wandb_project")),
+    )
+
+    resume = cfg.get("resume_from_checkpoint")
+    trainer = Trainer(tconf, loggers)
+    log.info("devices: %s", jax.devices())
+    trainer.fit(denoiser, optimizer, sigma_distribution, datamodule, resume_from=resume)
+
+
+def main(argv=None):
+    setup_logging()
+    parser = argparse.ArgumentParser(description="Train a jamun_tpu denoiser")
+    parser.add_argument("--config-dir", default=DEFAULT_CONFIG_DIR)
+    parser.add_argument("--config-name", default="train")
+    parser.add_argument("--experiment-dir", default="configs/experiment")
+    parser.add_argument("overrides", nargs="*", help="key=value overrides / experiment=<name>")
+    args = parser.parse_args(argv)
+    cfg = compose(args.config_dir, args.config_name, args.overrides, args.experiment_dir)
+    try:
+        run(cfg)
+    except Exception:
+        log.exception("training failed")  # full traceback for batch-system visibility
+        raise
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Denoiser core: EDM-style preconditioning around an equivariant architecture.
+
+Pure-functional port of `/root/reference/src/jamun/model/denoiser.py:13-353`
+(a PyTorch-Lightning module there): all methods take explicit params/rng and
+are jit/vmap/scan-safe. Exact formula parity:
+
+  A = average_squared_distance, B = 2*D*sigma^2
+  c_in = 1/sqrt(A+B), c_skip = A/(A+B), c_out = sqrt(A*B/(A+B)), c_noise = log(sigma)/4
+  effective_radial_cutoff = sqrt(max_radius^2 + 6 sigma^2)   (denoiser.py:134-136)
+  xhat = c_skip*y + c_out*g(c_in*y, c_noise, cutoff/c_in)     (denoiser.py:168-201)
+  score = (xhat - y)/sigma^2                                  (denoiser.py:111-114)
+  loss  = mean_graph[ sum_D (xhat-x)^2 ] * loss_weight / c_out^2
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jamun_tpu.models.e3conv import irreps_to_vector
+from jamun_tpu.ops.geometry import kabsch_align, mean_center
+from jamun_tpu.ops.graph import GraphBatch
+
+__all__ = ["DenoiserConfig", "Denoiser", "normalization_factors"]
+
+
+def normalization_factors(sigma, average_squared_distance, D: int = 3):
+    A = jnp.asarray(average_squared_distance)
+    B = 2.0 * D * jnp.asarray(sigma) ** 2
+    c_in = 1.0 / jnp.sqrt(A + B)
+    c_skip = A / (A + B)
+    c_out = jnp.sqrt((A * B) / (A + B))
+    c_noise = jnp.log(jnp.asarray(sigma)) / 4.0
+    return c_in, c_skip, c_out, c_noise
+
+
+def loss_weight(sigma, average_squared_distance, D: int = 3):
+    _, _, c_out, _ = normalization_factors(sigma, average_squared_distance, D)
+    return 1.0 / (c_out**2)
+
+
+@dataclasses.dataclass(frozen=True)
+class DenoiserConfig:
+    max_radius: float
+    average_squared_distance: float
+    align_noisy_input_during_training: bool = True
+    align_noisy_input_during_evaluation: bool = True
+    mean_center: bool = True
+    mirror_augmentation_rate: float = 0.0
+    add_fixed_noise: bool = False  # debug determinism knob (denoiser.py:52-59)
+    add_fixed_ones: bool = False
+
+
+class Denoiser:
+    """Wraps an equivariant arch (flax module mapping (batch, c_noise, cutoff)
+    -> per-atom output irreps) with preconditioning, noising and loss."""
+
+    def __init__(self, arch, config: DenoiserConfig):
+        self.arch = arch
+        self.config = config
+
+    # ---- init ----
+
+    def init(self, key, example_batch: GraphBatch):
+        c_in, _, _, c_noise = normalization_factors(0.04, self.config.average_squared_distance)
+        cutoff = self.effective_radial_cutoff(0.04) / c_in
+        # jit: eager per-op dispatch is pathologically slow on remote TPU backends
+        return jax.jit(self.arch.init)(key, example_batch, c_noise[None], cutoff)
+
+    # ---- preconditioning ----
+
+    def effective_radial_cutoff(self, sigma):
+        return jnp.sqrt(self.config.max_radius**2 + 6.0 * jnp.asarray(sigma) ** 2)
+
+    def xhat_normalized(self, params, y: GraphBatch, sigma) -> jnp.ndarray:
+        D = y.pos.shape[-1]
+        c_in, c_skip, c_out, c_noise = normalization_factors(
+            sigma, self.config.average_squared_distance, D
+        )
+        radial_cutoff = self.effective_radial_cutoff(sigma) / c_in
+        y_scaled = y.replace_pos(y.pos * c_in)
+        g_out = self.arch.apply(params, y_scaled, c_noise.reshape(-1), radial_cutoff)
+        g_pos = irreps_to_vector(g_out)
+        return c_skip * y.pos + c_out * g_pos
+
+    def xhat(self, params, y: GraphBatch, sigma) -> jnp.ndarray:
+        pos = y.pos
+        if self.config.mean_center:
+            pos = mean_center(pos, y.node_mask)
+        xhat_pos = self.xhat_normalized(params, y.replace_pos(pos), sigma)
+        if self.config.mean_center:
+            xhat_pos = mean_center(xhat_pos, y.node_mask)
+        return xhat_pos
+
+    def score(self, params, y: GraphBatch, sigma) -> jnp.ndarray:
+        """score(y, sigma) = (xhat(y) - y) / sigma^2 — consumed by the Langevin walk."""
+        return (self.xhat(params, y, sigma) - y.pos) / (jnp.asarray(sigma) ** 2)
+
+    # ---- training path ----
+
+    def add_noise(self, key, x: GraphBatch, sigma) -> GraphBatch:
+        if self.config.add_fixed_ones:
+            noise = jnp.ones_like(x.pos)
+        elif self.config.add_fixed_noise:
+            noise = jax.random.normal(jax.random.PRNGKey(0), x.pos.shape[1:])[None]
+            noise = jnp.broadcast_to(noise, x.pos.shape)
+        else:
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, x.pos.shape)
+        pos = x.pos + jnp.asarray(sigma) * noise * x.node_mask[..., None]
+        if self.config.mirror_augmentation_rate > 0:
+            key, sub = jax.random.split(key)
+            flip = jax.random.uniform(sub) < self.config.mirror_augmentation_rate
+            pos = jnp.where(flip, -pos, pos)
+        return x.replace_pos(pos)
+
+    def noise_and_denoise(
+        self, params, key, x: GraphBatch, sigma, align_noisy_input: bool
+    ) -> Tuple[jnp.ndarray, GraphBatch, GraphBatch]:
+        if self.config.mean_center:
+            x = x.replace_pos(mean_center(x.pos, x.node_mask))
+        y = self.add_noise(key, x, sigma)
+        if self.config.mean_center:
+            y = y.replace_pos(mean_center(y.pos, y.node_mask))
+        if align_noisy_input:
+            y = y.replace_pos(kabsch_align(y.pos, x.pos, x.node_mask))
+        xhat_pos = self.xhat(params, y, sigma)
+        return xhat_pos, y, x
+
+    def compute_loss(
+        self, x: GraphBatch, xhat_pos: jnp.ndarray, sigma
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Returns per-graph scaled loss [G] and aux dict of per-graph metrics."""
+        pos = x.pos
+        if self.config.mean_center:
+            pos = mean_center(pos, x.node_mask)
+        D = pos.shape[-1]
+        m = x.node_mask.astype(pos.dtype)
+        per_atom = jnp.sum((xhat_pos - pos) ** 2, axis=-1) * m  # [G, N]
+        count = jnp.maximum(jnp.sum(m, axis=-1), 1.0)  # [G]
+        raw_loss = jnp.sum(per_atom, axis=-1) / count  # per-graph mean
+        scaled_rmsd = jnp.sum(jnp.sqrt(per_atom + 1e-20) * m, axis=-1) / count
+        scaled_rmsd = scaled_rmsd / (jnp.asarray(sigma) * jnp.sqrt(1.0 * D))
+        w = loss_weight(sigma, self.config.average_squared_distance, D)
+        scaled_loss = raw_loss * x.loss_weight * w
+        return scaled_loss, {
+            "coordinate_loss": scaled_loss,
+            "raw_coordinate_loss": raw_loss,
+            "scaled_rmsd": scaled_rmsd,
+        }
+
+    def noise_and_compute_loss(
+        self, params, key, x: GraphBatch, sigma, align_noisy_input: bool
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        xhat_pos, _, x_centered = self.noise_and_denoise(params, key, x, sigma, align_noisy_input)
+        return self.compute_loss(x_centered, xhat_pos, sigma)
+
+    def training_loss(self, params, key, x: GraphBatch, sigma) -> Tuple[jnp.ndarray, Dict]:
+        """Scalar loss averaged over valid graphs (the pjit-differentiated fn)."""
+        per_graph, aux = self.noise_and_compute_loss(
+            params, key, x, sigma, self.config.align_noisy_input_during_training
+        )
+        gm = x.graph_mask.astype(per_graph.dtype)
+        denom = jnp.maximum(jnp.sum(gm), 1.0)
+        loss = jnp.sum(per_graph * gm) / denom
+        aux = {k: jnp.sum(v * gm) / denom for k, v in aux.items()}
+        aux["loss"] = loss
+        return loss, aux

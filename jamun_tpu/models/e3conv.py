@@ -1,0 +1,143 @@
+"""E3Conv: NequIP-style E(3)-equivariant message-passing denoiser architecture.
+
+Reference: `/root/reference/src/jamun/model/arch/e3conv.py:12-138` and default
+hyperparameters from `hydra_config/model/arch/e3conv.yaml` (5 layers, hidden
+`120x0e + 32x1e`, SH `1x0e + 1x1e`, out `1x1e`, edge_attr_dim 64).
+
+TPU-first differences: operates on dense padded [G, N] batches with masked
+N x N adjacency (see `jamun_tpu.ops.graph`); edge features (SH, radial basis,
+bondedness embedding) are computed once per forward and shared by all layers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from jamun_tpu.models.embeddings import AtomEmbeddingWithResidueInformation, SimpleAtomEmbedding
+from jamun_tpu.models.noise_conditioning import NoiseConditionalScaling, NoiseConditionalSkipConnection
+from jamun_tpu.ops.conv import ConvBlock
+from jamun_tpu.ops.graph import GraphBatch, dense_edge_data
+from jamun_tpu.ops.irreps import Irreps
+from jamun_tpu.ops.mlp import EquivariantMLP
+from jamun_tpu.ops.radial import soft_one_hot_linspace
+from jamun_tpu.ops.sh import spherical_harmonics
+
+__all__ = ["E3Conv", "vector_to_irreps", "irreps_to_vector"]
+
+_embed_init = nn.initializers.normal(stddev=1.0)
+
+# 3D vectors are (x, y, z); the l=1 irrep component order is (y, z, x).
+_XYZ_TO_YZX = jnp.array([1, 2, 0])
+_YZX_TO_XYZ = jnp.array([2, 0, 1])
+
+
+def vector_to_irreps(v: jnp.ndarray) -> jnp.ndarray:
+    return v[..., _XYZ_TO_YZX]
+
+
+def irreps_to_vector(f: jnp.ndarray) -> jnp.ndarray:
+    return f[..., _YZX_TO_XYZ]
+
+
+class E3Conv(nn.Module):
+    irreps_out: str = "1x1e"
+    irreps_hidden: str = "120x0e + 32x1e"
+    irreps_sh: str = "1x0e + 1x1e"
+    n_layers: int = 5
+    edge_attr_dim: int = 64
+    atom_type_embedding_dim: int = 8
+    atom_code_embedding_dim: int = 8
+    residue_code_embedding_dim: int = 32
+    residue_index_embedding_dim: int = 8
+    use_residue_information: bool = True
+    use_residue_sequence_index: bool = False
+    tensor_product: str = "uvw"  # "uvw" = e3nn FullyConnectedTP (reference default)
+    dtype: Any = None  # hot-path compute dtype, e.g. jnp.bfloat16 (params stay f32)
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: GraphBatch,
+        c_noise: jnp.ndarray,
+        radial_cutoff: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """batch.pos are the *scaled* noisy positions (c_in * y). Returns the
+        per-atom output irreps array; for irreps_out="1x1e" use
+        `irreps_to_vector` to get (x, y, z) displacements."""
+        irreps_hidden = Irreps(self.irreps_hidden)
+        irreps_sh = Irreps(self.irreps_sh)
+        irreps_out = Irreps(self.irreps_out)
+
+        bonded_dim = self.edge_attr_dim // 2
+        radial_dim = (self.edge_attr_dim + 1) // 2
+        bond_embed = self.param("embed_bondedness", _embed_init, (2, bonded_dim))
+
+        def attr_fn(dist, bonded: bool):
+            radial = soft_one_hot_linspace(dist, 0.0, radial_cutoff, radial_dim, basis="gaussian", cutoff=True)
+            bond_vec = bond_embed[1] if bonded else bond_embed[0]
+            bond_part = jnp.broadcast_to(bond_vec, dist.shape + (bonded_dim,))
+            return jnp.concatenate([bond_part, radial], axis=-1)
+
+        edges = dense_edge_data(
+            batch.pos,
+            batch.node_mask,
+            batch.bond_src,
+            batch.bond_dst,
+            batch.bond_mask,
+            radial_cutoff,
+            sh_fn=functools.partial(spherical_harmonics, irreps_sh),
+            attr_fn=attr_fn,
+        )
+
+        if self.use_residue_information:
+            embedder = AtomEmbeddingWithResidueInformation(
+                self.atom_type_embedding_dim,
+                self.atom_code_embedding_dim,
+                self.residue_code_embedding_dim,
+                self.residue_index_embedding_dim,
+                self.use_residue_sequence_index,
+            )
+        else:
+            embedder = SimpleAtomEmbedding(
+                embedding_dim=self.atom_type_embedding_dim
+                + self.atom_code_embedding_dim
+                + self.residue_code_embedding_dim
+                + self.residue_index_embedding_dim
+            )
+        node_attr = embedder(batch)
+        irreps_node = embedder.irreps_out
+
+        node_attr = NoiseConditionalScaling(irreps_node)(node_attr, c_noise)
+        node_attr = ConvBlock(
+            irreps_in=irreps_node,
+            irreps_out=irreps_hidden,
+            irreps_sh=irreps_sh,
+            edge_attr_dim=self.edge_attr_dim,
+            tensor_product=self.tensor_product,
+            dtype=self.dtype,
+        )(node_attr, edges)
+
+        for _ in range(self.n_layers):
+            scaled = NoiseConditionalScaling(irreps_hidden)(node_attr, c_noise)
+            layer_out = ConvBlock(
+                irreps_in=irreps_hidden,
+                irreps_out=irreps_hidden,
+                irreps_sh=irreps_sh,
+                edge_attr_dim=self.edge_attr_dim,
+                tensor_product=self.tensor_product,
+                dtype=self.dtype,
+            )(scaled, edges)
+            node_attr = NoiseConditionalSkipConnection(irreps_hidden)(node_attr, layer_out, c_noise)
+
+        node_attr = EquivariantMLP(
+            irreps_in=irreps_hidden,
+            irreps_out=irreps_out,
+            irreps_hidden_list=[irreps_hidden],
+        )(node_attr)
+        output_gain = self.param("output_gain", nn.initializers.zeros, ())
+        node_attr = node_attr * output_gain
+        return node_attr * batch.node_mask[..., None]

@@ -1,0 +1,130 @@
+"""Equivariant graph convolution on dense padded batches — the hot loop.
+
+Per edge: tp(node_attr[src], edge_sh, radial_nn(edge_attr)), mean-aggregated
+over incoming edges. The reference implements this with torch_cluster +
+torch_scatter CUDA kernels (`/root/reference/src/jamun/e3tools/nn/_conv.py:96-118`);
+here the radial-weight generation is one large MXU matmul over all N^2 pairs
+and aggregation is a masked reduction over the src axis — no scatter at all.
+Bonded edges (a small static edge list) are added via per-graph segment_sum.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from jamun_tpu.ops.gate import Gate
+from jamun_tpu.ops.graph import EdgeData
+from jamun_tpu.ops.irreps import Irreps
+from jamun_tpu.ops.linear import IrrepsLinear
+from jamun_tpu.ops.mlp import ScalarMLP
+from jamun_tpu.ops.tensor_product import WeightedTensorProduct, depthwise_tp, fully_connected_tp
+
+__all__ = ["Conv", "SeparableConv", "ConvBlock"]
+
+
+def _segment_sum_per_graph(messages: jnp.ndarray, dst: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
+    """messages: [G, B, D], dst: [G, B] -> [G, N, D] (sum of messages per dst node)."""
+    return jax.vmap(lambda m, d: jax.ops.segment_sum(m, d, num_segments=num_nodes))(messages, dst)
+
+
+class Conv(nn.Module):
+    """Tensor-field-network convolution (arXiv 1802.08219), dense-batch form."""
+
+    irreps_in: Union[str, Irreps]
+    irreps_out: Union[str, Irreps]
+    irreps_sh: Union[str, Irreps]
+    edge_attr_dim: int
+    radial_hidden: Optional[Sequence[int]] = None  # default: [edge_attr_dim]
+    tensor_product: str = "uvw"  # "uvw" (fully connected) | "uvu" (separable)
+    dtype: Any = None  # compute dtype for the hot path (params stay float32)
+
+    def setup(self):
+        irreps_in = Irreps(self.irreps_in)
+        irreps_out = Irreps(self.irreps_out)
+        irreps_sh = Irreps(self.irreps_sh)
+        if self.tensor_product == "uvw":
+            self.tp = fully_connected_tp(irreps_in, irreps_sh, irreps_out)
+            self._post_linear = None
+        elif self.tensor_product == "uvu":
+            self.tp, irreps_dtp = depthwise_tp(irreps_in, irreps_sh, irreps_out)
+            self._post_linear = IrrepsLinear(irreps_dtp, irreps_out)
+        else:
+            raise ValueError(self.tensor_product)
+        hidden = list(self.radial_hidden) if self.radial_hidden is not None else [self.edge_attr_dim]
+        self.radial_nn = ScalarMLP(
+            out_features=self.tp.weight_numel, hidden_features=hidden, dtype=self.dtype
+        )
+
+    def __call__(self, node_attr: jnp.ndarray, edges: EdgeData) -> jnp.ndarray:
+        """node_attr: [G, N, irreps_in.dim] -> [G, N, irreps_out.dim]."""
+        G, N, _ = node_attr.shape
+        cdt = self.dtype or node_attr.dtype
+        out_dtype = node_attr.dtype
+        node_attr = node_attr.astype(cdt)
+
+        # --- dense radial edges ---
+        w_dense = self.radial_nn(edges.attr_dense.astype(cdt))  # [G, N, N, weight_numel]
+        src_attr = jnp.broadcast_to(node_attr[:, None, :, :], (G, N, N, node_attr.shape[-1]))
+        msg = self.tp(src_attr, edges.sh_dense.astype(cdt), w_dense)  # [G, dst, src, out_dim]
+        out = jnp.einsum(
+            "gijd,gij->gid", msg, edges.adj.astype(cdt), preferred_element_type=out_dtype
+        )
+        deg = jnp.sum(edges.adj, axis=-1)  # [G, N] (f32)
+
+        # --- bonded edges (small static list) ---
+        w_bond = self.radial_nn(edges.attr_bond.astype(cdt))  # [G, B, weight_numel]
+        src_b = jnp.take_along_axis(node_attr, edges.bond_src[..., None], axis=1)  # [G, B, D]
+        msg_b = self.tp(src_b, edges.sh_bond.astype(cdt), w_bond).astype(out_dtype)
+        msg_b = msg_b * edges.bond_mask[..., None]
+        out = out + _segment_sum_per_graph(msg_b, edges.bond_dst, N)
+        deg = deg + _segment_sum_per_graph(edges.bond_mask[..., None], edges.bond_dst, N)[..., 0]
+
+        out = out / jnp.maximum(deg, 1.0)[..., None]
+        if self._post_linear is not None:
+            out = self._post_linear(out)
+        return out
+
+
+class SeparableConv(Conv):
+    """Conv with the depthwise+pointwise factorized tensor product
+    (`/root/reference/src/jamun/e3tools/nn/_conv.py:122-135`). ~100x fewer
+    radial-MLP output features than the fully-connected product."""
+
+    tensor_product: str = "uvu"
+
+
+class ConvBlock(nn.Module):
+    """LinearSelfInteraction(Gated(Conv)) — reference `nn/_conv.py:147-223`."""
+
+    irreps_in: Union[str, Irreps]
+    irreps_out: Union[str, Irreps]
+    irreps_sh: Union[str, Irreps]
+    edge_attr_dim: int
+    tensor_product: str = "uvw"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, node_attr: jnp.ndarray, edges: EdgeData) -> jnp.ndarray:
+        irreps_in = Irreps(self.irreps_in)
+        irreps_out = Irreps(self.irreps_out)
+        gate = Gate(irreps_out)
+        conv = Conv(
+            irreps_in=irreps_in,
+            irreps_out=gate.irreps_in,
+            irreps_sh=self.irreps_sh,
+            edge_attr_dim=self.edge_attr_dim,
+            tensor_product=self.tensor_product,
+            dtype=self.dtype,
+        )
+        # LinearSelfInteraction (`nn/_interaction.py:5`): f(x) passed through a
+        # linear "self interaction", plus a linear skip of the input.
+        skip = IrrepsLinear(irreps_in, gate.irreps_out)(node_attr)
+        x = conv(node_attr, edges)
+        x = gate(x)
+        x = IrrepsLinear(gate.irreps_out, gate.irreps_out)(x)
+        return x + skip

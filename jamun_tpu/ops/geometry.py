@@ -1,0 +1,48 @@
+"""Geometric utilities: masked mean-centering and batched Kabsch alignment.
+
+Reference parity: `/root/reference/src/jamun/utils/mean_center.py:7` and
+`/root/reference/src/jamun/utils/align.py:9-56` (torch_scatter segment means +
+batched SVD), reformulated for dense padded [G, N, 3] batches — per-graph
+reductions become masked means, no scatter needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["mean_center", "kabsch_align"]
+
+
+def mean_center(pos: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Subtract the per-graph masked centroid. pos: [G, N, 3], node_mask: [G, N]."""
+    m = node_mask[..., None].astype(pos.dtype)
+    count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(pos * m, axis=1, keepdims=True) / count
+    return (pos - mean) * m
+
+
+def kabsch_align(y: jnp.ndarray, x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Rigidly align each graph of y onto the corresponding graph of x
+    (rotation + translation minimizing masked RMSD), reflections removed.
+
+    y, x: [G, N, 3]; node_mask: [G, N]. Returns aligned y (padding zeroed).
+    """
+    m = node_mask[..., None].astype(y.dtype)
+    count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    x_mu = jnp.sum(x * m, axis=1, keepdims=True) / count
+    y_mu = jnp.sum(y * m, axis=1, keepdims=True) / count
+    x_c = (x - x_mu) * m
+    y_c = (y - y_mu) * m
+
+    # Per-graph covariance H[g] = y_c^T x_c  (3x3).
+    H = jnp.einsum("gni,gnj->gij", y_c, x_c)
+    U, _, Vh = jnp.linalg.svd(H)
+    # R = V U^T with the last column sign-flipped if det < 0 (no reflections).
+    det = jnp.linalg.det(jnp.einsum("gki,gjk->gij", Vh, U))
+    signs = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)  # [G, 3]
+    R = jnp.einsum("gki,gk,gjk->gij", Vh, signs, U)
+
+    Ry = jnp.einsum("gij,gnj->gni", R, y)
+    t = x_mu - jnp.einsum("gij,gnj->gni", R, y_mu)
+    return (Ry + t) * m

@@ -1,0 +1,122 @@
+"""Sampling driver: host loop over sample batches around one jitted walk-jump
+program per batch, with chain continuation and observer callbacks.
+
+Reference: `/root/reference/src/jamun/sampling/_sampler.py:15-99` (a
+Lightning-Fabric loop there). Multi-device fan-out is embarrassingly parallel:
+shard chains over the mesh with `jamun_tpu.parallel` (each device walks its own
+chains; zero collective traffic during the walk, matching the reference's
+rank-independent chains, `cmdline/sample.py:86-88`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jamun_tpu.ops.graph import GraphBatch
+
+__all__ = ["Sampler", "unbatch_samples"]
+
+
+def unbatch_samples(samples: Dict[str, jnp.ndarray], init_graphs: GraphBatch) -> List[Dict[str, Any]]:
+    """Split stacked device outputs into per-graph host dicts.
+
+    Trajectory arrays [frames, G, N, 3] become per-graph [atoms, frames, 3]
+    (reference layout, `utils/sampling_wrapper.py:49-83`); final-state arrays
+    [G, N, 3] become [atoms, 3]. Padding atoms are stripped.
+    """
+    node_mask = np.asarray(init_graphs.node_mask)
+    out: List[Dict[str, Any]] = []
+    host = {k: np.asarray(v) for k, v in samples.items() if hasattr(v, "shape")}
+    G = node_mask.shape[0]
+    graph_mask = np.asarray(init_graphs.graph_mask)
+    for g in range(G):
+        if not graph_mask[g]:
+            continue
+        n = int(node_mask[g].sum())
+        entry: Dict[str, Any] = {"graph_index": g, "num_atoms": n}
+        for key, value in host.items():
+            if value.ndim == 4 and value.shape[1] == G:  # [frames, G, N, 3]
+                entry[key] = np.transpose(value[:, g, :n], (1, 0, 2))
+            elif value.ndim == 3 and value.shape[0] == G:  # [G, N, 3]
+                entry[key] = value[g, :n]
+        out.append(entry)
+    return out
+
+
+@dataclasses.dataclass
+class Sampler:
+    """Runs `num_batches` sampling rounds, optionally continuing the chain."""
+
+    callbacks: Sequence[Any] = ()
+    donate_state: bool = True
+
+    def _call(self, hook: str, **kwargs):
+        for cb in self.callbacks:
+            fn = getattr(cb, hook, None)
+            if fn is not None:
+                fn(**kwargs)
+
+    def sample(
+        self,
+        denoiser,
+        params,
+        batch_sampler,
+        num_batches: int,
+        init_graphs: GraphBatch,
+        continue_chain: bool = False,
+        seed: int = 0,
+    ) -> List[List[Dict[str, Any]]]:
+        sigma = batch_sampler.sigma
+        key = jax.random.PRNGKey(seed)
+        mask = init_graphs.node_mask[..., None].astype(init_graphs.pos.dtype)
+
+        key, nkey = jax.random.split(key)
+        y_init = init_graphs.pos + sigma * jax.random.normal(nkey, init_graphs.pos.shape) * mask
+        v_init: Any = "gaussian"
+
+        def _one_batch(params, y, v, key):
+            return batch_sampler.sample(denoiser, params, init_graphs, key, y, v_init=v)
+
+        one_batch_gaussian_v = jax.jit(lambda p, y, k: _one_batch(p, y, "gaussian", k))
+        one_batch_carried_v = jax.jit(_one_batch)
+
+        self._call("on_sample_start", sampler=self)
+        self.global_step = 0
+        all_samples: List[List[Dict[str, Any]]] = []
+        for batch_idx in range(num_batches):
+            self.global_step = batch_idx
+            key, bkey = jax.random.split(key)
+            t0 = time.perf_counter()
+            if isinstance(v_init, str):
+                out = one_batch_gaussian_v(params, y_init, bkey)
+            else:
+                out = one_batch_carried_v(params, y_init, v_init, bkey)
+            jax.block_until_ready(out["y"])
+            elapsed = time.perf_counter() - t0
+
+            if continue_chain:
+                y_init, v_init = out["y"], out["v"]
+            else:
+                key, nkey = jax.random.split(key)
+                y_init = (
+                    init_graphs.pos
+                    + sigma * jax.random.normal(nkey, init_graphs.pos.shape) * mask
+                )
+                v_init = "gaussian"
+
+            samples = unbatch_samples(out, init_graphs)
+            all_samples.append(samples)
+            self._call(
+                "on_after_sample_batch",
+                sample=samples,
+                sampler=self,
+                elapsed_seconds=elapsed,
+            )
+        self._call("on_sample_end", sampler=self)
+        return all_samples

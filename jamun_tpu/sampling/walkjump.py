@@ -1,0 +1,61 @@
+"""Walk-jump sampling: Langevin walk in noised space + denoiser jump.
+
+Reference: `/root/reference/src/jamun/sampling/walkjump/_single_measurement.py:8-89`.
+The jump loop there runs one denoiser forward per saved frame in Python; here
+it is a `lax.map` over frame chunks folded into the batch axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from jamun_tpu.ops.graph import GraphBatch
+from jamun_tpu.sampling.mcmc import MCMCConfig, _SplittingSampler
+
+__all__ = ["SingleMeasurementSampler"]
+
+
+@dataclasses.dataclass
+class SingleMeasurementSampler:
+    """Single-measurement walk-jump sampler."""
+
+    mcmc: _SplittingSampler
+    sigma: float
+    jump_chunk_size: int = 0  # 0 = jump all frames at once
+
+    def walk(self, denoiser, params, init_graphs: GraphBatch, key, y_init, v_init="gaussian"):
+        mask = init_graphs.node_mask[..., None].astype(y_init.dtype)
+
+        def score_fn(y):
+            return denoiser.score(params, init_graphs.replace_pos(y), self.sigma)
+
+        y, v, y_traj, score_traj = self.mcmc(key, y_init, score_fn, v_init=v_init, mask=mask)
+        return {"y": y, "v": v, "y_traj": y_traj, "score_traj": score_traj}
+
+    def walk_jump(self, denoiser, params, init_graphs: GraphBatch, key, y_init, v_init="gaussian"):
+        out = self.walk(denoiser, params, init_graphs, key, y_init, v_init)
+        xhat = denoiser.xhat(params, init_graphs.replace_pos(out["y"]), self.sigma)
+
+        y_traj = out["y_traj"]  # [F, G, N, 3]
+
+        def jump(y_frame):
+            return denoiser.xhat(params, init_graphs.replace_pos(y_frame), self.sigma)
+
+        if y_traj.shape[0] > 0:
+            if self.jump_chunk_size and self.jump_chunk_size < y_traj.shape[0]:
+                xhat_traj = jax.lax.map(jump, y_traj, batch_size=self.jump_chunk_size)
+            else:
+                xhat_traj = jax.vmap(jump)(y_traj)
+        else:
+            xhat_traj = jnp.zeros_like(y_traj)
+
+        return {**out, "xhat": xhat, "xhat_traj": xhat_traj}
+
+    def sample(self, denoiser, params, init_graphs: GraphBatch, key, y_init, v_init="gaussian"):
+        out = self.walk_jump(denoiser, params, init_graphs, key, y_init, v_init)
+        out["sample"] = out["xhat"]
+        return out

@@ -1,0 +1,133 @@
+"""Training driver: epochs, validation, checkpointing, throughput timing.
+
+Replaces PyTorch Lightning's Trainer as configured by the reference
+(`hydra_config/trainer/default.yaml`, callbacks in
+`/root/reference/src/jamun/callbacks/`): EMA is inside the train step, the
+Timing callback becomes samples/sec tracking here, EarlyStopping's
+check_finite behavior (`hydra_config/callbacks/early_stopping.yaml`) aborts on
+non-finite validation loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jamun_tpu.data.datamodule import DataModule
+from jamun_tpu.models.denoiser import Denoiser
+from jamun_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from jamun_tpu.train.checkpoints import CheckpointManager, restore_checkpoint
+from jamun_tpu.train.loggers import ConsoleLogger, MultiLogger
+from jamun_tpu.train.state import TrainState, create_train_state, make_eval_step, make_train_step
+
+log = logging.getLogger("jamun_tpu")
+
+__all__ = ["TrainerConfig", "Trainer"]
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_epochs: int = 10
+    max_steps: Optional[int] = None
+    val_every_n_steps: Optional[int] = None  # None: validate at epoch end
+    val_max_batches: int = 50
+    log_every_n_steps: int = 50
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_top_k: int = 5
+    ema_decay: float = 0.999
+    check_finite: bool = True  # abort on non-finite val loss
+    num_devices: Optional[int] = None  # data-parallel devices (None: all)
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(self, config: TrainerConfig, loggers=None):
+        self.config = config
+        self.logger = loggers or MultiLogger(ConsoleLogger(every_n=1))
+        self.ckpt = CheckpointManager(config.checkpoint_dir, top_k=config.checkpoint_top_k)
+
+    def fit(
+        self,
+        denoiser: Denoiser,
+        optimizer,
+        sigma_distribution,
+        datamodule: DataModule,
+        resume_from: Optional[str] = None,
+    ) -> TrainState:
+        cfg = self.config
+        mesh = make_mesh(cfg.num_devices)
+        n_dev = mesh.devices.size
+
+        example = next(iter(datamodule.train_batches(0)))
+        state = create_train_state(denoiser, optimizer, example, seed=cfg.seed)
+        if resume_from:
+            state = restore_checkpoint(resume_from, state)
+            log.info("resumed from %s at step %d", resume_from, int(state.step))
+        state = replicate(state, mesh)
+
+        # NOTE: buffer donation is NOT used — the axon TPU backend rejects
+        # donated buffers (INVALID_ARGUMENT); the state is small enough to copy.
+        train_step = jax.jit(
+            make_train_step(denoiser, optimizer, sigma_distribution, cfg.ema_decay)
+        )
+        eval_step = jax.jit(make_eval_step(denoiser, sigma_distribution))
+
+        step = int(state.step)
+        samples_seen = 0
+        t_start = time.perf_counter()
+        stop = False
+        for epoch in range(cfg.max_epochs):
+            if stop:
+                break
+            for batch in datamodule.train_batches(epoch):
+                batch = shard_batch(batch, mesh)
+                state, aux = train_step(state, batch)
+                step += 1
+                samples_seen += batch.num_graphs
+                if step % cfg.log_every_n_steps == 0:
+                    metrics = {f"train/{k}": float(v) for k, v in jax.device_get(aux).items()}
+                    elapsed = time.perf_counter() - t_start
+                    metrics["train/samples_per_sec"] = samples_seen / elapsed
+                    metrics["train/steps_per_sec"] = step / elapsed
+                    metrics["epoch"] = epoch
+                    self.logger.log_metrics(metrics, step)
+                if cfg.val_every_n_steps and step % cfg.val_every_n_steps == 0:
+                    stop = self._validate(state, eval_step, datamodule, step) or stop
+                if cfg.max_steps and step >= cfg.max_steps:
+                    stop = True
+                if stop:
+                    break
+            if not cfg.val_every_n_steps:
+                stop = self._validate(state, eval_step, datamodule, step) or stop
+        self.logger.finalize()
+        return jax.device_get(state)
+
+    def _validate(self, state, eval_step, datamodule, step: int) -> bool:
+        """Returns True if training should stop (non-finite loss)."""
+        cfg = self.config
+        totals: Dict[str, float] = {}
+        n = 0
+        key = jax.random.PRNGKey(cfg.seed + step)
+        for i, batch in enumerate(datamodule.val_batches()):
+            if i >= cfg.val_max_batches:
+                break
+            key, sub = jax.random.split(key)
+            aux = jax.device_get(eval_step(state, batch, sub))
+            for k, v in aux.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        if n == 0:
+            return False
+        metrics = {f"val/{k}": v / n for k, v in totals.items()}
+        self.logger.log_metrics(metrics, step)
+        self.ckpt.save(jax.device_get(state), step, metrics)
+        if self.config.check_finite and not np.isfinite(metrics.get("val/loss", 0.0)):
+            log.error("non-finite validation loss at step %d; stopping", step)
+            return True
+        return False

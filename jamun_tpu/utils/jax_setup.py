@@ -1,0 +1,26 @@
+"""Common JAX runtime setup: persistent compilation cache.
+
+The tunneled TPU backend in this environment compiles slowly (tens of seconds
+to minutes per program); the persistent cache makes re-runs of the CLIs/bench
+near-instant.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+log = logging.getLogger("jamun_tpu")
+
+_DEFAULT_CACHE_DIR = os.environ.get("JAMUN_TPU_JAX_CACHE", "/tmp/jamun_tpu_jax_cache")
+
+
+def setup_jax(compilation_cache_dir: str = _DEFAULT_CACHE_DIR) -> None:
+    import jax
+
+    try:
+        os.makedirs(compilation_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover - best effort
+        log.warning("could not enable jax compilation cache: %s", e)

@@ -1,0 +1,55 @@
+"""Sampler tests: integrator stationary distribution, walk-jump plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jamun_tpu.sampling.mcmc import ABOBA, BAOAB, MCMCConfig, make_processed_score_fn
+
+
+def test_score_clipping():
+    fn = make_processed_score_fn(lambda y: y * 100.0, inverse_temperature=2.0, score_fn_clip=1.0)
+    y = jnp.asarray([[3.0, 4.0, 0.0]])  # score norm 500 -> clipped to 1, *2
+    s, orig = fn(y)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(s)), 2.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(orig), [[300.0, 400.0, 0.0]], rtol=1e-5)
+
+
+@pytest.mark.parametrize("sampler_cls", [BAOAB, ABOBA])
+def test_gaussian_stationary_distribution(sampler_cls):
+    """On a quadratic potential U = k|y|^2/2 (score = -k y), the underdamped
+    Langevin chain should sample y ~ N(0, 1/k) as delta -> 0."""
+    k = 4.0
+    cfg = MCMCConfig(delta=0.05, friction=1.0, M=1.0, steps=4001, save_every_n_steps=10, burn_in_steps=1000)
+    sampler = sampler_cls(cfg)
+    y0 = jnp.zeros((64, 3))
+    y, v, y_traj, score_traj = jax.jit(
+        lambda key, y: sampler(key, y, lambda x: -k * x, v_init="gaussian")
+    )(jax.random.PRNGKey(0), y0)
+    samples = np.asarray(y_traj).reshape(-1)
+    var = samples.var()
+    assert abs(var - 1.0 / k) < 0.25 / k, f"variance {var} vs expected {1.0 / k}"
+    assert y_traj.shape[0] == cfg.num_saved_frames == 300
+
+
+def test_saved_frames_includes_initial():
+    cfg = MCMCConfig(delta=0.01, steps=21, save_every_n_steps=5, burn_in_steps=0)
+    sampler = BAOAB(cfg)
+    y0 = jnp.ones((2, 3))
+    _, _, y_traj, s_traj = jax.jit(lambda k, y: sampler(k, y, lambda x: -x))(jax.random.PRNGKey(0), y0)
+    assert y_traj.shape[0] == 1 + 20 // 5
+    np.testing.assert_allclose(np.asarray(y_traj[0]), np.asarray(y0))
+    assert s_traj.shape == y_traj.shape
+
+
+def test_mask_keeps_padding_zero():
+    cfg = MCMCConfig(delta=0.05, steps=50)
+    sampler = BAOAB(cfg)
+    y0 = jnp.ones((2, 4, 3)).at[:, 2:].set(0.0)
+    mask = jnp.ones((2, 4, 1)).at[:, 2:].set(0.0)
+    y, v, _, _ = jax.jit(
+        lambda k, y: sampler(k, y, lambda x: -x * mask, v_init="gaussian", mask=mask)
+    )(jax.random.PRNGKey(0), y0)
+    assert np.allclose(np.asarray(y)[:, 2:], 0.0)
+    assert np.allclose(np.asarray(v)[:, 2:], 0.0)
