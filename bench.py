@@ -27,7 +27,7 @@ BASELINE_MS_PER_SAMPLE = 2.5  # Timewarp 4AA, reference CSV
 
 N_ATOMS = 44  # 4AA-scale heavy-atom count
 N_PAD = 48
-NUM_CHAINS = 64
+NUM_CHAINS = 128
 STEPS = 101  # steps-1 walk updates (reference loop semantics)
 SIGMA = 0.04
 

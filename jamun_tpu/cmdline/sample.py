@@ -81,6 +81,23 @@ def run(cfg) -> None:
     optimizer = build_optimizer(model_cfg)
     state = create_train_state(denoiser, optimizer, init_graphs, seed=0)
     state = restore_checkpoint(ckpt_path, state)
+
+    # Optional test-time finetuning on the init structures
+    # (reference `cmdline/sample.py:91-116`).
+    ft = cfg.get("finetune_on_init") or {}
+    if ft.get("num_steps", 0) > 0:
+        from jamun_tpu.train.distributions import ConstantSigma
+        from jamun_tpu.train.state import make_train_step
+
+        sigma_dist = ConstantSigma(float(cfg.get("sigma", 0.04)))
+        step_fn = jax.jit(
+            make_train_step(denoiser, optimizer, sigma_dist, ema_decay=float(ft.get("ema_decay", 0.999)))
+        )
+        for i in range(int(ft["num_steps"])):
+            state, aux = step_fn(state, init_graphs)
+            if i % max(int(ft.get("log_every", 10)), 1) == 0:
+                log.info("finetune step %d: loss=%.5f", i, float(aux["loss"]))
+
     params = state.ema_params  # sample with EMA weights
 
     batch_sampler = instantiate(cfg["batch_sampler"])

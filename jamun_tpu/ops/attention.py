@@ -96,7 +96,8 @@ class MultiheadAttention(nn.Module):
         v_b = h_v(src_b, edges.attr_bond, edges.sh_bond).reshape(G, B, H, -1)
 
         # logits: invariant contraction of q[dst] with per-edge keys
-        logits = dot(q[:, :, None], k, dot_w)[..., 0]  # [G, N(dst), N(src), H]
+        q_dense = jnp.broadcast_to(q[:, :, None], (G, N, N, H, q.shape[-1]))
+        logits = dot(q_dense, k, dot_w)[..., 0]  # [G, N(dst), N(src), H]
         q_bond = jnp.take_along_axis(
             q.reshape(G, N, -1), edges.bond_dst[..., None], axis=1
         ).reshape(G, B, H, -1)

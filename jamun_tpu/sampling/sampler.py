@@ -80,17 +80,31 @@ class Sampler:
         y_init = init_graphs.pos + sigma * jax.random.normal(nkey, init_graphs.pos.shape) * mask
         v_init: Any = "gaussian"
 
-        def _one_batch(params, y, v, key):
-            return batch_sampler.sample(denoiser, params, init_graphs, key, y, v_init=v)
+        def make_batch_fns(sampler_obj):
+            def _one_batch(params, y, v, key):
+                return sampler_obj.sample(denoiser, params, init_graphs, key, y, v_init=v)
 
-        one_batch_gaussian_v = jax.jit(lambda p, y, k: _one_batch(p, y, "gaussian", k))
-        one_batch_carried_v = jax.jit(_one_batch)
+            return (
+                jax.jit(lambda p, y, k: _one_batch(p, y, "gaussian", k)),
+                jax.jit(_one_batch),
+            )
+
+        one_batch_gaussian_v, one_batch_carried_v = make_batch_fns(batch_sampler)
+        has_param_callbacks = any(hasattr(cb, "update_sampler") for cb in self.callbacks)
 
         self._call("on_sample_start", sampler=self)
         self.global_step = 0
         all_samples: List[List[Dict[str, Any]]] = []
         for batch_idx in range(num_batches):
             self.global_step = batch_idx
+            if has_param_callbacks:
+                # parameter callbacks mutate MCMC params per batch
+                # (`sampling/walkjump/_callbacks.py` parity); params are
+                # compile-time constants so the batch fn is rebuilt.
+                for cb in self.callbacks:
+                    if hasattr(cb, "update_sampler"):
+                        batch_sampler = cb.update_sampler(batch_sampler, batch_idx)
+                one_batch_gaussian_v, one_batch_carried_v = make_batch_fns(batch_sampler)
             key, bkey = jax.random.split(key)
             t0 = time.perf_counter()
             if isinstance(v_init, str):

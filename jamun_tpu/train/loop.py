@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import Any, Dict, Iterable, Optional
 
@@ -23,6 +24,7 @@ from jamun_tpu.data.datamodule import DataModule
 from jamun_tpu.models.denoiser import Denoiser
 from jamun_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from jamun_tpu.train.checkpoints import CheckpointManager, restore_checkpoint
+from jamun_tpu.train.diagnostics import SigmaDistributionDiagnostics
 from jamun_tpu.train.loggers import ConsoleLogger, MultiLogger
 from jamun_tpu.train.state import TrainState, create_train_state, make_eval_step, make_train_step
 
@@ -44,6 +46,7 @@ class TrainerConfig:
     check_finite: bool = True  # abort on non-finite val loss
     num_devices: Optional[int] = None  # data-parallel devices (None: all)
     seed: int = 0
+    collect_sigma_diagnostics: bool = True  # sigma-vs-loss/grad-norm CSV+plots
 
 
 class Trainer:
@@ -51,6 +54,11 @@ class Trainer:
         self.config = config
         self.logger = loggers or MultiLogger(ConsoleLogger(every_n=1))
         self.ckpt = CheckpointManager(config.checkpoint_dir, top_k=config.checkpoint_top_k)
+        self.diagnostics = (
+            SigmaDistributionDiagnostics(os.path.join(config.checkpoint_dir, "..", "diagnostics"))
+            if config.collect_sigma_diagnostics
+            else None
+        )
 
     def fit(
         self,
@@ -91,7 +99,10 @@ class Trainer:
                 step += 1
                 samples_seen += batch.num_graphs
                 if step % cfg.log_every_n_steps == 0:
-                    metrics = {f"train/{k}": float(v) for k, v in jax.device_get(aux).items()}
+                    host_aux = jax.device_get(aux)
+                    if self.diagnostics:
+                        self.diagnostics.update(host_aux, step)
+                    metrics = {f"train/{k}": float(v) for k, v in host_aux.items()}
                     elapsed = time.perf_counter() - t_start
                     metrics["train/samples_per_sec"] = samples_seen / elapsed
                     metrics["train/steps_per_sec"] = step / elapsed
@@ -105,6 +116,8 @@ class Trainer:
                     break
             if not cfg.val_every_n_steps:
                 stop = self._validate(state, eval_step, datamodule, step) or stop
+            if self.diagnostics:
+                self.diagnostics.flush(epoch)
         self.logger.finalize()
         return jax.device_get(state)
 
