@@ -103,8 +103,17 @@ def run(cfg) -> None:
     batch_sampler = instantiate(cfg["batch_sampler"])
 
     out_dir = cfg.get("output_dir", "sampler")
+    from jamun_tpu.metrics.score_distribution import ScoreDistributionMetrics
+    from jamun_tpu.metrics.visualize import SampleVisualizer
+
     metrics_per_dataset = [
-        [SaveTrajectory(ds, out_dir), RamachandranMetrics(ds), ChemicalValidityMetrics(ds)]
+        [
+            SaveTrajectory(ds, out_dir),
+            RamachandranMetrics(ds),
+            ChemicalValidityMetrics(ds),
+            ScoreDistributionMetrics(ds),
+            SampleVisualizer(ds, out_dir),
+        ]
         for ds in datasets
     ]
 
@@ -117,9 +126,10 @@ def run(cfg) -> None:
                 for m in metrics_per_dataset[d]:
                     m.update(s)
 
+    timing_cb = MeasureSamplingTimeCallback()
     callbacks = [
         _AllMetricsCallback([m for ms in metrics_per_dataset for m in ms]),
-        MeasureSamplingTimeCallback(),
+        timing_cb,
     ]
 
     sampler = Sampler(callbacks=callbacks)
@@ -133,6 +143,16 @@ def run(cfg) -> None:
         continue_chain=cfg.get("continue_chain", True),
         seed=cfg.get("seed", 0),
     )
+
+    # sampling-rate CSV (reference analysis/sampling_times layout)
+    from jamun_tpu.analysis.load_trajectory import write_sampling_times_csv
+
+    if timing_cb.total_samples:
+        rate = timing_cb.total_seconds / timing_cb.total_samples
+        write_sampling_times_csv(
+            os.path.join(out_dir, "sampling_times.csv"),
+            {ds.label(): rate for ds in datasets},
+        )
 
 
 def main(argv=None):

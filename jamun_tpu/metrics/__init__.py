@@ -12,3 +12,5 @@ from jamun_tpu.metrics.divergences import (
 )
 from jamun_tpu.metrics.ramachandran import RamachandranMetrics
 from jamun_tpu.metrics.save_trajectory import SaveTrajectory
+from jamun_tpu.metrics.score_distribution import ScoreDistributionMetrics
+from jamun_tpu.metrics.visualize import SampleVisualizer, TrajectoryVisualizer

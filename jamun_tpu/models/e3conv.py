@@ -57,6 +57,7 @@ class E3Conv(nn.Module):
     use_residue_sequence_index: bool = False
     tensor_product: str = "uvw"  # "uvw" = e3nn FullyConnectedTP (reference default)
     dtype: Any = None  # hot-path compute dtype, e.g. jnp.bfloat16 (params stay f32)
+    use_pallas: bool = False  # fused VMEM conv kernel (uvu, l<=1 only)
 
     @nn.compact
     def __call__(
@@ -82,6 +83,8 @@ class E3Conv(nn.Module):
             bond_part = jnp.broadcast_to(bond_vec, dist.shape + (bonded_dim,))
             return jnp.concatenate([bond_part, radial], axis=-1)
 
+        # dense edge features are still built for the (scalar-input) initial
+        # projector; hidden layers recompute them inside the fused kernel
         edges = dense_edge_data(
             batch.pos,
             batch.node_mask,
@@ -91,6 +94,8 @@ class E3Conv(nn.Module):
             radial_cutoff,
             sh_fn=functools.partial(spherical_harmonics, irreps_sh),
             attr_fn=attr_fn,
+            dense=True,
+            bond0_embed=bond_embed[0],
         )
 
         if self.use_residue_information:
@@ -119,6 +124,8 @@ class E3Conv(nn.Module):
             edge_attr_dim=self.edge_attr_dim,
             tensor_product=self.tensor_product,
             dtype=self.dtype,
+            # the initial projector's irreps_in is the (0e-only) embedding —
+            # not the kernel's (S,V) shape; it always uses the XLA path
         )(node_attr, edges)
 
         for _ in range(self.n_layers):
@@ -130,6 +137,7 @@ class E3Conv(nn.Module):
                 edge_attr_dim=self.edge_attr_dim,
                 tensor_product=self.tensor_product,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
             )(scaled, edges)
             node_attr = NoiseConditionalSkipConnection(irreps_hidden)(node_attr, layer_out, c_noise)
 

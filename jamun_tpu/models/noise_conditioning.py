@@ -13,7 +13,7 @@ from jamun_tpu.ops.irreps import Irreps
 from jamun_tpu.ops.mlp import torch_linear_bias_init, torch_linear_kernel_init
 from jamun_tpu.ops.tensor_product import scale_irreps
 
-__all__ = ["NoiseConditionalScaling", "NoiseConditionalSkipConnection", "NoiseEmbedding"]
+__all__ = ["NoiseConditionalScaling", "NoiseConditionalSkipConnection", "NoiseEmbedding", "linear_embedding_transform"]
 
 
 class _ScalePredictor(nn.Module):
@@ -86,3 +86,8 @@ class NoiseEmbedding(nn.Module):
                 bias_init=torch_linear_bias_init(self.output_dims),
             )(x)
         return x
+
+
+def linear_embedding_transform(sigma, scale: float = 1.0, shift: float = 0.0):
+    """Trivial linear sigma-embedding transform (reference model/sigma_embedding.py:4)."""
+    return scale * sigma + shift

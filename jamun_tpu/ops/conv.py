@@ -42,6 +42,7 @@ class Conv(nn.Module):
     radial_hidden: Optional[Sequence[int]] = None  # default: [edge_attr_dim]
     tensor_product: str = "uvw"  # "uvw" (fully connected) | "uvu" (separable)
     dtype: Any = None  # compute dtype for the hot path (params stay float32)
+    use_pallas: bool = False  # fused VMEM kernel for the dense radial part
 
     def setup(self):
         irreps_in = Irreps(self.irreps_in)
@@ -60,6 +61,29 @@ class Conv(nn.Module):
             out_features=self.tp.weight_numel, hidden_features=hidden, dtype=self.dtype
         )
 
+    def _pallas_supported(self, node_attr: jnp.ndarray, edges: EdgeData) -> bool:
+        from jamun_tpu.ops.pallas.fused_conv import supports_fused_conv
+
+        irreps_in = Irreps(self.irreps_in)
+        shapes_ok = (
+            len(irreps_in) == 2
+            and irreps_in[0].ir.l == 0
+            and irreps_in[1].ir.l == 1
+            and (self.radial_hidden is None or list(self.radial_hidden) == [self.edge_attr_dim])
+        )
+        return (
+            self.use_pallas
+            and self.tensor_product == "uvu"
+            and not self.is_initializing()
+            and edges.pos is not None
+            and edges.bond0_embed is not None
+            and shapes_ok
+            and supports_fused_conv(
+                irreps_in[0].mul, irreps_in[1].mul, Irreps(self.irreps_sh).dim,
+                self.edge_attr_dim, self.edge_attr_dim,
+            )
+        )
+
     def __call__(self, node_attr: jnp.ndarray, edges: EdgeData) -> jnp.ndarray:
         """node_attr: [G, N, irreps_in.dim] -> [G, N, irreps_out.dim]."""
         G, N, _ = node_attr.shape
@@ -67,14 +91,36 @@ class Conv(nn.Module):
         out_dtype = node_attr.dtype
         node_attr = node_attr.astype(cdt)
 
-        # --- dense radial edges ---
-        w_dense = self.radial_nn(edges.attr_dense.astype(cdt))  # [G, N, N, weight_numel]
-        src_attr = jnp.broadcast_to(node_attr[:, None, :, :], (G, N, N, node_attr.shape[-1]))
-        msg = self.tp(src_attr, edges.sh_dense.astype(cdt), w_dense)  # [G, dst, src, out_dim]
-        out = jnp.einsum(
-            "gijd,gij->gid", msg, edges.adj.astype(cdt), preferred_element_type=out_dtype
-        )
-        deg = jnp.sum(edges.adj, axis=-1)  # [G, N] (f32)
+        if self._pallas_supported(node_attr, edges):
+            from jamun_tpu.ops.pallas.fused_conv import fused_uvu_conv_dense
+
+            irreps_in = Irreps(self.irreps_in)
+            rp = self.radial_nn.variables["params"]
+            out, deg = fused_uvu_conv_dense(
+                edges.pos,
+                edges.node_mask,
+                node_attr,
+                rp["Dense_0"]["kernel"],
+                rp["Dense_0"]["bias"],
+                rp["Dense_1"]["kernel"],
+                rp["Dense_1"]["bias"],
+                edges.bond0_embed,
+                edges.radial_cutoff,
+                S=irreps_in[0].mul,
+                V=irreps_in[1].mul,
+                n_radial=(self.edge_attr_dim + 1) // 2,
+                interpret=jax.default_backend() != "tpu",  # CPU tests: interpreter
+            )
+            out = out.astype(out_dtype)
+        else:
+            # --- dense radial edges (XLA path) ---
+            w_dense = self.radial_nn(edges.attr_dense.astype(cdt))  # [G, N, N, weight_numel]
+            src_attr = jnp.broadcast_to(node_attr[:, None, :, :], (G, N, N, node_attr.shape[-1]))
+            msg = self.tp(src_attr, edges.sh_dense.astype(cdt), w_dense)  # [G, dst, src, out]
+            out = jnp.einsum(
+                "gijd,gij->gid", msg, edges.adj.astype(cdt), preferred_element_type=out_dtype
+            )
+            deg = jnp.sum(edges.adj, axis=-1)  # [G, N] (f32)
 
         # --- bonded edges (small static list) ---
         w_bond = self.radial_nn(edges.attr_bond.astype(cdt))  # [G, B, weight_numel]
@@ -107,6 +153,7 @@ class ConvBlock(nn.Module):
     edge_attr_dim: int
     tensor_product: str = "uvw"
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, node_attr: jnp.ndarray, edges: EdgeData) -> jnp.ndarray:
@@ -120,6 +167,7 @@ class ConvBlock(nn.Module):
             edge_attr_dim=self.edge_attr_dim,
             tensor_product=self.tensor_product,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
         )
         # LinearSelfInteraction (`nn/_interaction.py:5`): f(x) passed through a
         # linear "self interaction", plus a linear skip of the input.

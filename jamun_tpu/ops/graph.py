@@ -68,16 +68,24 @@ class GraphBatch:
 
 @flax.struct.dataclass
 class EdgeData:
-    """Edge features shared by all conv layers of one forward pass."""
+    """Edge features shared by all conv layers of one forward pass.
 
-    sh_dense: jnp.ndarray  # [G, N, N, sh_dim] (dst, src)
-    attr_dense: jnp.ndarray  # [G, N, N, A]
-    adj: jnp.ndarray  # [G, N, N] float; adj[g, i, j] = 1 if edge src j -> dst i
+    The dense fields may be None when the fused Pallas conv path is active
+    (it recomputes edge features in VMEM from the raw fields below)."""
+
+    sh_dense: Optional[jnp.ndarray]  # [G, N, N, sh_dim] (dst, src)
+    attr_dense: Optional[jnp.ndarray]  # [G, N, N, A]
+    adj: Optional[jnp.ndarray]  # [G, N, N] float; adj[g, i, j] = 1 if edge src j -> dst i
     sh_bond: jnp.ndarray  # [G, B, sh_dim]
     attr_bond: jnp.ndarray  # [G, B, A]
     bond_src: jnp.ndarray  # [G, B]
     bond_dst: jnp.ndarray  # [G, B]
     bond_mask: jnp.ndarray  # [G, B] float
+    # raw inputs for the fused Pallas path
+    pos: Optional[jnp.ndarray] = None  # [G, N, 3]
+    node_mask: Optional[jnp.ndarray] = None  # [G, N]
+    radial_cutoff: Optional[jnp.ndarray] = None  # scalar
+    bond0_embed: Optional[jnp.ndarray] = None  # [A // 2] bondedness-0 row
 
 
 def dense_edge_data(
@@ -89,6 +97,8 @@ def dense_edge_data(
     radial_cutoff,
     sh_fn,
     attr_fn,
+    dense: bool = True,
+    bond0_embed: Optional[jnp.ndarray] = None,
 ) -> EdgeData:
     """Build EdgeData from positions.
 
@@ -102,15 +112,17 @@ def dense_edge_data(
     cutoff contributes two messages.
     """
     G, N, _ = pos.shape
-    # edge_vec[g, i, j] = pos[src=j] - pos[dst=i]
-    edge_vec = pos[:, None, :, :] - pos[:, :, None, :]
-    dist = jnp.linalg.norm(edge_vec + 1e-12, axis=-1)
-    eye = jnp.eye(N, dtype=bool)[None]
-    pair_mask = node_mask[:, :, None] & node_mask[:, None, :] & (~eye)
-    adj = (dist < radial_cutoff) & pair_mask
+    sh_dense = attr_dense = adj = None
+    if dense:
+        # edge_vec[g, i, j] = pos[src=j] - pos[dst=i]
+        edge_vec = pos[:, None, :, :] - pos[:, :, None, :]
+        dist = jnp.linalg.norm(edge_vec + 1e-12, axis=-1)
+        eye = jnp.eye(N, dtype=bool)[None]
+        pair_mask = node_mask[:, :, None] & node_mask[:, None, :] & (~eye)
+        adj = ((dist < radial_cutoff) & pair_mask).astype(pos.dtype)
 
-    sh_dense = sh_fn(edge_vec)
-    attr_dense = attr_fn(dist, bonded=False)
+        sh_dense = sh_fn(edge_vec)
+        attr_dense = attr_fn(dist, bonded=False)
 
     # Bonded edge features.
     bvec = jnp.take_along_axis(pos, bond_src[..., None], axis=1) - jnp.take_along_axis(
@@ -123,10 +135,14 @@ def dense_edge_data(
     return EdgeData(
         sh_dense=sh_dense,
         attr_dense=attr_dense,
-        adj=adj.astype(pos.dtype),
+        adj=adj,
         sh_bond=sh_bond,
         attr_bond=attr_bond,
         bond_src=bond_src,
         bond_dst=bond_dst,
         bond_mask=bond_mask.astype(pos.dtype),
+        pos=pos,
+        node_mask=node_mask,
+        radial_cutoff=radial_cutoff,
+        bond0_embed=bond0_embed,
     )

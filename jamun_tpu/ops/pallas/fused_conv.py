@@ -1,0 +1,279 @@
+"""Pallas TPU kernel: fused dense equivariant convolution (l<=1, separable TP).
+
+One kernel program per graph computes, entirely in VMEM:
+    edge vectors -> spherical harmonics + gaussian radial basis + adjacency
+    -> radial MLP (two MXU matmuls) -> depthwise tensor product messages
+    -> masked sum over incoming edges (+ degree)
+replacing the XLA chain that materializes [G, N, N, 704] messages and
+[G, N, N, W] radial weights in HBM between stages. HBM traffic per layer drops
+from O(N^2 * C) to O(N * C).
+
+Scope: irreps_in = S x0e + V x1e, irreps_sh = 1x0e + 1x1e, radial MLP
+64 -> 64 -> (2S + 3V), dtp output blocks [S x0e, S x1e, V x1e, V x0e, V x1e]
+(construction order of `jamun_tpu.ops.tensor_product.depthwise_tp`). This is
+exactly the flagship separable E3Conv configuration; other shapes fall back to
+the XLA path.
+
+Feature layout inside the kernel is structure-of-arrays: the 1e block of the
+input is passed de-interleaved as [V(y), V(z), V(x)] groups; the output is
+returned SoA and re-interleaved by the wrapper (cheap [N, C] transposes).
+
+Bonded edges are NOT handled here (small static list; added by the caller via
+the XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_uvu_conv_dense", "supports_fused_conv"]
+
+_SQRT3 = math.sqrt(3.0)
+_INV_SQRT3 = 1.0 / math.sqrt(3.0)
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+
+
+def supports_fused_conv(S: int, V: int, sh_dim: int, attr_dim: int, radial_hidden: int) -> bool:
+    return sh_dim == 4 and attr_dim == 64 and radial_hidden == 64 and S > 0 and V > 0
+
+
+def _kernel(
+    # inputs (per graph block)
+    pos_ref,      # [1, N, 4]   xyz + pad
+    s_ref,        # [1, N, S]   scalar features
+    vy_ref,       # [1, N, V]
+    vz_ref,       # [1, N, V]
+    vx_ref,       # [1, N, V]
+    mask_ref,     # [1, N, 1]   node mask
+    w1_ref,       # [64, 64]
+    b1_ref,       # [1, 64]
+    w2_ref,       # [64, W]     W = 2S + 3V
+    b2_ref,       # [1, W]
+    bond0_ref,    # [1, 32]     bondedness-0 embedding row
+    scalars_ref,  # [1, 4]      cutoff, basis_step_inv ... in SMEM? keep VMEM
+    # outputs
+    out_s_ref,    # [1, N, S]       o1
+    out_sy_ref,   # [1, N, S]       o2 (y)
+    out_sz_ref,   # [1, N, S]
+    out_sx_ref,   # [1, N, S]
+    out_v3y_ref,  # [1, N, V]       o3 (y)
+    out_v3z_ref,  # [1, N, V]
+    out_v3x_ref,  # [1, N, V]
+    out_v0_ref,   # [1, N, V]       o4
+    out_v5y_ref,  # [1, N, V]       o5 (y)
+    out_v5z_ref,  # [1, N, V]
+    out_v5x_ref,  # [1, N, V]
+    deg_ref,      # [1, N, 1]
+    *,
+    N: int,
+    S: int,
+    V: int,
+    n_radial: int,
+):
+    f32 = jnp.float32
+    cutoff = scalars_ref[0, 0]
+    px = pos_ref[0, :, 0]
+    py = pos_ref[0, :, 1]
+    pz = pos_ref[0, :, 2]
+    mask = mask_ref[0, :, 0]  # [N]
+
+    # pair geometry: rel[i, j] = pos[j] - pos[i]
+    rx = px[None, :] - px[:, None]  # [N, N]
+    ry = py[None, :] - py[:, None]
+    rz = pz[None, :] - pz[:, None]
+    d2 = rx * rx + ry * ry + rz * rz
+    dist = jnp.sqrt(d2 + 1e-12)
+    eye = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) == jax.lax.broadcasted_iota(
+        jnp.int32, (N, N), 1
+    )
+    adj = (
+        (dist < cutoff)
+        & (~eye)
+        & (mask[:, None] > 0)
+        & (mask[None, :] > 0)
+    ).astype(f32)  # [N, N]
+
+    inv_d = 1.0 / jnp.maximum(dist, 1e-12)
+    # sh1 in (y, z, x) order, component normalization sqrt(3) * n
+    shy = _SQRT3 * ry * inv_d
+    shz = _SQRT3 * rz * inv_d
+    shx = _SQRT3 * rx * inv_d
+
+    # gaussian radial basis (soft_one_hot_linspace, cutoff=True):
+    # centers c_k = cutoff * k/(n+1), k=1..n; width = cutoff/(n+1)
+    step = cutoff / (n_radial + 1)
+    k = jax.lax.broadcasted_iota(f32, (1, n_radial), 1) + 1.0  # [1, n]
+    centers = step * k  # [1, n]
+    dflat = dist.reshape(N * N, 1)
+    diff = (dflat - centers) / step  # [N*N, n]
+    radial = jnp.exp(-(diff * diff)) * (1.0 / 1.12)
+
+    # edge attr = [bond0 (32) | radial (32)]
+    bond_part = jnp.broadcast_to(bond0_ref[0][None, :], (N * N, 32))
+    attr = jnp.concatenate([bond_part, radial], axis=1)  # [N*N, 64]
+
+    # radial MLP (MXU)
+    h = jnp.dot(attr, w1_ref[...], preferred_element_type=f32) + b1_ref[0][None, :]
+    h = h * jax.nn.sigmoid(h)  # SiLU
+    w = jnp.dot(h, w2_ref[...], preferred_element_type=f32) + b2_ref[0][None, :]  # [N*N, W]
+
+    # split path weights (construction order: o1 S, o2 S, o3 V, o4 V, o5 V)
+    w1p = w[:, 0:S].reshape(N, N, S)
+    w2p = w[:, S : 2 * S].reshape(N, N, S)
+    w3p = w[:, 2 * S : 2 * S + V].reshape(N, N, V)
+    w4p = w[:, 2 * S + V : 2 * S + 2 * V].reshape(N, N, V)
+    w5p = w[:, 2 * S + 2 * V : 2 * S + 3 * V].reshape(N, N, V)
+
+    s = s_ref[0]  # [N, S] (src index j)
+    vy = vy_ref[0]
+    vz = vz_ref[0]
+    vx = vx_ref[0]
+
+    adj3 = adj[:, :, None]
+
+    def agg(msg):  # [N(i), N(j), C] -> [N, C] masked sum over j
+        return jnp.sum(msg * adj3, axis=1)
+
+    sj = s[None, :, :]  # src features broadcast over dst
+    # o1: w1p * s[j]   (0e x 0e -> 0e, sh0 = 1)
+    out_s_ref[0] = agg(w1p * sj)
+    # o2: w2p * s[j] * sh1_k
+    t2 = w2p * sj
+    out_sy_ref[0] = agg(t2 * shy[:, :, None])
+    out_sz_ref[0] = agg(t2 * shz[:, :, None])
+    out_sx_ref[0] = agg(t2 * shx[:, :, None])
+    # o3: w3p * v[j]_k ; o5: w5p * (v[j] x sh1)_k / sqrt(2)
+    vyj = vy[None, :, :]
+    vzj = vz[None, :, :]
+    vxj = vx[None, :, :]
+    shy3 = shy[:, :, None]
+    shz3 = shz[:, :, None]
+    shx3 = shx[:, :, None]
+    # cross product in (y, z, x) cyclic basis: (v x s)_y = v_z s_x - v_x s_z, etc.
+    cy = vzj * shx3 - vxj * shz3
+    cz = vxj * shy3 - vyj * shx3
+    cx = vyj * shz3 - vzj * shy3
+    out_v3y_ref[0] = agg(w3p * vyj)
+    out_v3z_ref[0] = agg(w3p * vzj)
+    out_v3x_ref[0] = agg(w3p * vxj)
+    out_v5y_ref[0] = agg(w5p * cy * _INV_SQRT2)
+    out_v5z_ref[0] = agg(w5p * cz * _INV_SQRT2)
+    out_v5x_ref[0] = agg(w5p * cx * _INV_SQRT2)
+    # o4: w4p * (v[j] . sh1) / sqrt(3)
+    dot = vyj * shy3 + vzj * shz3 + vxj * shx3
+    out_v0_ref[0] = agg(w4p * dot * _INV_SQRT3)
+
+    deg_ref[0] = jnp.sum(adj, axis=1)[:, None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "V", "n_radial", "interpret"),
+)
+def fused_uvu_conv_dense(
+    pos: jnp.ndarray,       # [G, N, 3] f32
+    node_mask: jnp.ndarray, # [G, N] bool
+    x: jnp.ndarray,         # [G, N, S + 3V] packed irreps (f32/bf16)
+    w1: jnp.ndarray,        # [64, 64]
+    b1: jnp.ndarray,        # [64]
+    w2: jnp.ndarray,        # [64, 2S + 3V]
+    b2: jnp.ndarray,        # [2S + 3V]
+    bond0: jnp.ndarray,     # [32] bondedness-0 embedding
+    cutoff: jnp.ndarray,    # scalar
+    S: int,
+    V: int,
+    n_radial: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (aggregated dtp messages [G, N, 2S+3V+... packed], degree [G, N]).
+
+    Output packed in the depthwise_tp block order [Sx0e, Sx1e, Vx1e, Vx0e, Vx1e]
+    with standard interleaved (mul, component) layout — directly consumable by
+    the post-linear.
+    """
+    G, N, _ = pos.shape
+    f32 = jnp.float32
+    # de-interleave the 1e block into SoA components
+    s_feat = x[..., :S].astype(f32)
+    v = x[..., S:].reshape(G, N, V, 3).astype(f32)
+    vy, vz, vx = v[..., 0], v[..., 1], v[..., 2]
+
+    pos_pad = jnp.concatenate([pos.astype(f32), jnp.zeros((G, N, 1), f32)], axis=-1)
+    maskf = node_mask.astype(f32)[..., None]
+    scalars = jnp.broadcast_to(jnp.asarray([cutoff, 0.0, 0.0, 0.0], f32)[None], (1, 4))
+
+    kernel = functools.partial(_kernel, N=N, S=S, V=V, n_radial=n_radial)
+
+    def gspec(shape):
+        return pl.BlockSpec((1,) + shape, lambda g: (g,) + (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    def shared(shape):
+        return pl.BlockSpec(shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((G, N, S), f32),  # o1
+        jax.ShapeDtypeStruct((G, N, S), f32),  # o2 y
+        jax.ShapeDtypeStruct((G, N, S), f32),  # o2 z
+        jax.ShapeDtypeStruct((G, N, S), f32),  # o2 x
+        jax.ShapeDtypeStruct((G, N, V), f32),  # o3 y
+        jax.ShapeDtypeStruct((G, N, V), f32),  # o3 z
+        jax.ShapeDtypeStruct((G, N, V), f32),  # o3 x
+        jax.ShapeDtypeStruct((G, N, V), f32),  # o4
+        jax.ShapeDtypeStruct((G, N, V), f32),  # o5 y
+        jax.ShapeDtypeStruct((G, N, V), f32),  # o5 z
+        jax.ShapeDtypeStruct((G, N, V), f32),  # o5 x
+        jax.ShapeDtypeStruct((G, N, 1), f32),  # degree
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            gspec((N, 4)),
+            gspec((N, S)),
+            gspec((N, V)),
+            gspec((N, V)),
+            gspec((N, V)),
+            gspec((N, 1)),
+            shared((64, 64)),
+            shared((1, 64)),
+            shared((64, w2.shape[-1])),
+            shared((1, w2.shape[-1])),
+            shared((1, 32)),
+            shared((1, 4)),
+        ],
+        out_specs=tuple(
+            gspec(sh.shape[1:]) for sh in out_shapes
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        pos_pad,
+        s_feat,
+        vy,
+        vz,
+        vx,
+        maskf,
+        w1.astype(f32),
+        b1.astype(f32)[None],
+        w2.astype(f32),
+        b2.astype(f32)[None],
+        bond0.astype(f32)[None],
+        scalars,
+    )
+    o1, o2y, o2z, o2x, o3y, o3z, o3x, o4, o5y, o5z, o5x, deg = outs
+
+    # re-interleave to the packed dtp block order
+    # [Sx0e | Sx1e | Vx1e(o3) | Vx0e(o4) | Vx1e(o5)].
+    s1e = jnp.stack([o2y, o2z, o2x], axis=-1).reshape(G, N, 3 * S)
+    v3 = jnp.stack([o3y, o3z, o3x], axis=-1).reshape(G, N, 3 * V)
+    v5 = jnp.stack([o5y, o5z, o5x], axis=-1).reshape(G, N, 3 * V)
+    packed = jnp.concatenate([o1, s1e, v3, o4, v5], axis=-1)
+    return packed, deg[..., 0]
