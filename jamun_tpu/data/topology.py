@@ -252,6 +252,10 @@ def preprocess_topology(topology: Topology, pos0: Optional[np.ndarray] = None) -
     top_with_h = topology.subset(topology.select_protein())
     if not top.bonds and pos0 is not None:
         top.bonds = infer_bonds(top, pos0[heavy])
+    if not top.bonds and top.n_atoms == top.n_residues > 1:
+        # coarse-grained chains (one bead per residue, e.g. IDRome-CG): bead
+        # spacing exceeds covalent cutoffs, so chain-link consecutive residues
+        top.bonds = [(i, i + 1) for i in range(top.n_atoms - 1)]
 
     atom_type = np.asarray([encode_atom_type(_element_of(a)) for a in top.atoms], np.int32)
     atom_code = np.asarray([encode_atom_code(a.name) for a in top.atoms], np.int32)

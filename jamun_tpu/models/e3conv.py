@@ -43,6 +43,33 @@ def irreps_to_vector(f: jnp.ndarray) -> jnp.ndarray:
     return f[..., _YZX_TO_XYZ]
 
 
+class _HiddenLayer(nn.Module):
+    """One noise-conditioned message-passing layer (scan body)."""
+
+    irreps_hidden: str
+    irreps_sh: str
+    edge_attr_dim: int
+    tensor_product: str
+    dtype: Any
+    use_pallas: bool
+
+    @nn.compact
+    def __call__(self, node_attr, edges, c_noise):
+        irreps_hidden = Irreps(self.irreps_hidden)
+        scaled = NoiseConditionalScaling(irreps_hidden)(node_attr, c_noise)
+        layer_out = ConvBlock(
+            irreps_in=irreps_hidden,
+            irreps_out=irreps_hidden,
+            irreps_sh=self.irreps_sh,
+            edge_attr_dim=self.edge_attr_dim,
+            tensor_product=self.tensor_product,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+        )(scaled, edges)
+        out = NoiseConditionalSkipConnection(irreps_hidden)(node_attr, layer_out, c_noise)
+        return out, None
+
+
 class E3Conv(nn.Module):
     irreps_out: str = "1x1e"
     irreps_hidden: str = "120x0e + 32x1e"
@@ -58,6 +85,8 @@ class E3Conv(nn.Module):
     tensor_product: str = "uvw"  # "uvw" = e3nn FullyConnectedTP (reference default)
     dtype: Any = None  # hot-path compute dtype, e.g. jnp.bfloat16 (params stay f32)
     use_pallas: bool = False  # fused VMEM conv kernel (uvu, l<=1 only)
+    scan_layers: bool = False  # lax.scan over the n identical hidden layers
+    # (one layer compile instead of n; params gain a leading layer axis)
 
     @nn.compact
     def __call__(
@@ -128,18 +157,26 @@ class E3Conv(nn.Module):
             # not the kernel's (S,V) shape; it always uses the XLA path
         )(node_attr, edges)
 
-        for _ in range(self.n_layers):
-            scaled = NoiseConditionalScaling(irreps_hidden)(node_attr, c_noise)
-            layer_out = ConvBlock(
-                irreps_in=irreps_hidden,
-                irreps_out=irreps_hidden,
-                irreps_sh=irreps_sh,
-                edge_attr_dim=self.edge_attr_dim,
-                tensor_product=self.tensor_product,
-                dtype=self.dtype,
-                use_pallas=self.use_pallas,
-            )(scaled, edges)
-            node_attr = NoiseConditionalSkipConnection(irreps_hidden)(node_attr, layer_out, c_noise)
+        layer_kwargs = dict(
+            irreps_hidden=self.irreps_hidden,
+            irreps_sh=self.irreps_sh,
+            edge_attr_dim=self.edge_attr_dim,
+            tensor_product=self.tensor_product,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+        )
+        if self.scan_layers:
+            ScannedLayer = nn.scan(
+                _HiddenLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.n_layers,
+            )
+            node_attr, _ = ScannedLayer(**layer_kwargs)(node_attr, edges, c_noise)
+        else:
+            for _ in range(self.n_layers):
+                node_attr, _ = _HiddenLayer(**layer_kwargs)(node_attr, edges, c_noise)
 
         node_attr = EquivariantMLP(
             irreps_in=irreps_hidden,

@@ -14,3 +14,6 @@ from jamun_tpu.ops.tensor_product import (
     fully_connected_tp,
     scale_irreps,
 )
+from jamun_tpu.ops.attention import Attention, MultiheadAttention, TransformerBlock, split_irreps
+from jamun_tpu.ops.experimental_tp import ExperimentalTensorProduct, external_linear, full_tensor_product
+from jamun_tpu.ops.extract import ExtractIrreps, ScaleIrreps, extract_irreps

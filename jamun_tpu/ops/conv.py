@@ -71,6 +71,12 @@ class Conv(nn.Module):
             and irreps_in[1].ir.l == 1
             and (self.radial_hidden is None or list(self.radial_hidden) == [self.edge_attr_dim])
         )
+        # the remote Mosaic compiler handles large tiles well but its layout
+        # solver can take pathologically long on tiny sub-tile shapes; restrict
+        # the compiled TPU path to well-shaped sizes (interpret mode is exempt)
+        if jax.default_backend() == "tpu":
+            N = node_attr.shape[1]
+            shapes_ok = shapes_ok and N >= 32 and irreps_in[0].mul >= 32 and irreps_in[1].mul >= 16
         return (
             self.use_pallas
             and self.tensor_product == "uvu"

@@ -110,7 +110,7 @@ def _kernel(
     # gaussian radial basis (soft_one_hot_linspace, cutoff=True):
     # centers c_k = cutoff * k/(n+1), k=1..n; width = cutoff/(n+1)
     step = cutoff / (n_radial + 1)
-    k = jax.lax.broadcasted_iota(f32, (1, n_radial), 1) + 1.0  # [1, n]
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, n_radial), 1).astype(f32) + 1.0  # [1, n]
     centers = step * k  # [1, n]
     dflat = dist.reshape(N * N, 1)
     diff = (dflat - centers) / step  # [N*N, n]

@@ -47,6 +47,7 @@ class TrainerConfig:
     num_devices: Optional[int] = None  # data-parallel devices (None: all)
     seed: int = 0
     collect_sigma_diagnostics: bool = True  # sigma-vs-loss/grad-norm CSV+plots
+    visualize_denoise_sigmas: tuple = ()  # e.g. (0.02, 0.04, 0.08): per-sigma val RMSD
 
 
 class Trainer:
@@ -81,6 +82,7 @@ class Trainer:
 
         # NOTE: buffer donation is NOT used — the axon TPU backend rejects
         # donated buffers (INVALID_ARGUMENT); the state is small enough to copy.
+        self._denoiser = denoiser
         train_step = jax.jit(
             make_train_step(denoiser, optimizer, sigma_distribution, cfg.ema_decay)
         )
@@ -138,6 +140,16 @@ class Trainer:
         if n == 0:
             return False
         metrics = {f"val/{k}": v / n for k, v in totals.items()}
+        if cfg.visualize_denoise_sigmas:
+            # per-sigma denoise visualization metrics (reference VisualizeDenoise)
+            from jamun_tpu.train.diagnostics import visualize_denoise_metrics
+
+            batch0 = next(iter(datamodule.val_batches()))
+            per_sigma = visualize_denoise_metrics(
+                self._denoiser, state.ema_params, batch0, sigmas=cfg.visualize_denoise_sigmas
+            )
+            for sig, aux2 in per_sigma.items():
+                metrics[f"val/scaled_rmsd_sigma{sig}"] = aux2["scaled_rmsd"]
         self.logger.log_metrics(metrics, step)
         self.ckpt.save(jax.device_get(state), step, metrics)
         if self.config.check_finite and not np.isfinite(metrics.get("val/loss", 0.0)):
