@@ -33,6 +33,7 @@ def build_denoiser(model_cfg: Dict[str, Any], average_squared_distance: Optional
         mirror_augmentation_rate=model_cfg.get("mirror_augmentation_rate", 0.0),
         add_fixed_noise=model_cfg.get("add_fixed_noise", False),
         add_fixed_ones=model_cfg.get("add_fixed_ones", False),
+        bond_loss_coefficient=model_cfg.get("bond_loss_coefficient", 1.0),
     )
     return Denoiser(arch, cfg)
 

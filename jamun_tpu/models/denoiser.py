@@ -52,6 +52,9 @@ class DenoiserConfig:
     mirror_augmentation_rate: float = 0.0
     add_fixed_noise: bool = False  # debug determinism knob (denoiser.py:52-59)
     add_fixed_ones: bool = False
+    # stored-but-unused in the reference too (denoiser.py:85 assigns, nothing
+    # reads it in compute_loss); kept for constructor parity
+    bond_loss_coefficient: float = 1.0
 
 
 class Denoiser:

@@ -24,7 +24,7 @@ from jamun_tpu.ops.linear import IrrepsLinear
 from jamun_tpu.ops.mlp import ScalarMLP
 from jamun_tpu.ops.tensor_product import WeightedTensorProduct, depthwise_tp, fully_connected_tp
 
-__all__ = ["Conv", "SeparableConv", "ConvBlock"]
+__all__ = ["Conv", "SeparableConv", "ExperimentalConv", "ConvBlock"]
 
 
 def _segment_sum_per_graph(messages: jnp.ndarray, dst: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
@@ -54,6 +54,11 @@ class Conv(nn.Module):
         elif self.tensor_product == "uvu":
             self.tp, irreps_dtp = depthwise_tp(irreps_in, irreps_sh, irreps_out)
             self._post_linear = IrrepsLinear(irreps_dtp, irreps_out)
+        elif self.tensor_product == "experimental":
+            from jamun_tpu.ops.experimental_tp import ExperimentalTensorProduct
+
+            self.tp = ExperimentalTensorProduct(irreps_in, irreps_sh, irreps_out)
+            self._post_linear = None
         else:
             raise ValueError(self.tensor_product)
         hidden = list(self.radial_hidden) if self.radial_hidden is not None else [self.edge_attr_dim]
@@ -148,6 +153,13 @@ class SeparableConv(Conv):
     radial-MLP output features than the fully-connected product."""
 
     tensor_product: str = "uvu"
+
+
+class ExperimentalConv(Conv):
+    """Conv with the full-TP + externally-weighted-linear product
+    (`/root/reference/src/jamun/e3tools/nn/_conv.py:138-144`)."""
+
+    tensor_product: str = "experimental"
 
 
 class ConvBlock(nn.Module):
