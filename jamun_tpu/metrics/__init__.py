@@ -14,3 +14,4 @@ from jamun_tpu.metrics.ramachandran import RamachandranMetrics
 from jamun_tpu.metrics.save_trajectory import SaveTrajectory
 from jamun_tpu.metrics.score_distribution import ScoreDistributionMetrics
 from jamun_tpu.metrics.visualize import SampleVisualizer, TrajectoryVisualizer
+from jamun_tpu.metrics.posebusters import PoseBustersMetrics
