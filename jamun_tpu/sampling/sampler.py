@@ -51,10 +51,18 @@ def unbatch_samples(samples: Dict[str, jnp.ndarray], init_graphs: GraphBatch) ->
 
 @dataclasses.dataclass
 class Sampler:
-    """Runs `num_batches` sampling rounds, optionally continuing the chain."""
+    """Runs `num_batches` sampling rounds, optionally continuing the chain.
+
+    With `num_devices` > 1 (or a prebuilt `mesh`) the chain/graph axis of the
+    batch is sharded over the mesh "data" axis — each device walks its own
+    chains with zero collective traffic (the reference's rank-independent
+    Fabric chains, `cmdline/sample.py:86-88`), and the compiler partitions the
+    jitted walk program SPMD."""
 
     callbacks: Sequence[Any] = ()
     donate_state: bool = True
+    num_devices: Optional[int] = None
+    mesh: Any = None
 
     def _call(self, hook: str, **kwargs):
         for cb in self.callbacks:
@@ -74,6 +82,14 @@ class Sampler:
     ) -> List[List[Dict[str, Any]]]:
         sigma = batch_sampler.sigma
         key = jax.random.PRNGKey(seed)
+
+        if self.mesh is not None or (self.num_devices or 1) > 1:
+            from jamun_tpu.parallel.mesh import make_mesh, pad_batch_to_multiple, shard_batch
+
+            mesh = self.mesh or make_mesh(self.num_devices)
+            init_graphs = pad_batch_to_multiple(init_graphs, mesh.devices.size)
+            init_graphs = shard_batch(init_graphs, mesh)
+
         mask = init_graphs.node_mask[..., None].astype(init_graphs.pos.dtype)
 
         key, nkey = jax.random.split(key)

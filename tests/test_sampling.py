@@ -53,3 +53,37 @@ def test_mask_keeps_padding_zero():
     )(jax.random.PRNGKey(0), y0)
     assert np.allclose(np.asarray(y)[:, 2:], 0.0)
     assert np.allclose(np.asarray(v)[:, 2:], 0.0)
+
+
+def test_sampler_multidevice_mesh():
+    """Chains sharded over the virtual 8-device mesh produce valid samples."""
+    import jax as _jax
+
+    from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
+    from jamun_tpu.models.e3conv import E3Conv
+    from jamun_tpu.sampling.sampler import Sampler
+    from jamun_tpu.sampling.walkjump import SingleMeasurementSampler
+    from jamun_tpu.utils.testing import make_test_batch
+
+    if len(_jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs the virtual multi-device mesh")
+
+    arch = E3Conv(
+        irreps_hidden="4x0e + 2x1e", n_layers=1, edge_attr_dim=4,
+        atom_type_embedding_dim=2, atom_code_embedding_dim=2,
+        residue_code_embedding_dim=2, residue_index_embedding_dim=2,
+    )
+    den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.3))
+    init = make_test_batch(num_graphs=2, max_nodes=8)
+    params = den.init(jax.random.PRNGKey(0), init)
+    bs = SingleMeasurementSampler(
+        mcmc=BAOAB(MCMCConfig(delta=0.04, steps=6, save_every_n_steps=2)), sigma=0.04
+    )
+    out = Sampler(num_devices=8).sample(
+        den, params, bs, num_batches=1, init_graphs=init, continue_chain=False
+    )
+    # 2 real graphs survive unbatching; 6 padded dummies are dropped
+    assert len(out[0]) == 2
+    assert np.all(np.isfinite(out[0][0]["xhat_traj"]))
