@@ -43,6 +43,7 @@ class Conv(nn.Module):
     tensor_product: str = "uvw"  # "uvw" (fully connected) | "uvu" (separable)
     dtype: Any = None  # compute dtype for the hot path (params stay float32)
     use_pallas: bool = False  # fused VMEM kernel for the dense radial part
+    fast_path: bool = True  # SoA component-plane XLA path for l<=1 uvu
 
     def setup(self):
         irreps_in = Irreps(self.irreps_in)
@@ -95,6 +96,19 @@ class Conv(nn.Module):
             )
         )
 
+    def _fast_uvu_supported(self) -> bool:
+        irreps_in = Irreps(self.irreps_in)
+        irreps_sh = Irreps(self.irreps_sh)
+        return (
+            self.fast_path
+            and self.tensor_product == "uvu"
+            and len(irreps_in) == 2
+            and irreps_in[0].ir.l == 0
+            and irreps_in[1].ir.l == 1
+            and [mi.ir.l for mi in irreps_sh] == [0, 1]
+            and irreps_sh.num_irreps == 2
+        )
+
     def __call__(self, node_attr: jnp.ndarray, edges: EdgeData) -> jnp.ndarray:
         """node_attr: [G, N, irreps_in.dim] -> [G, N, irreps_out.dim]."""
         G, N, _ = node_attr.shape
@@ -123,8 +137,19 @@ class Conv(nn.Module):
                 interpret=jax.default_backend() != "tpu",  # CPU tests: interpreter
             )
             out = out.astype(out_dtype)
+        elif self._fast_uvu_supported():
+            from jamun_tpu.ops.fast_uvu import fast_uvu_messages_dense
+
+            irreps_in = Irreps(self.irreps_in)
+            w_dense = self.radial_nn(edges.attr_dense.astype(cdt))  # [G, N, N, weight_numel]
+            out, deg = fast_uvu_messages_dense(
+                node_attr, edges.sh_dense, w_dense, edges.adj,
+                S=irreps_in[0].mul, V=irreps_in[1].mul,
+            )
+            out = out.astype(out_dtype)
+            deg = deg.astype(jnp.float32)
         else:
-            # --- dense radial edges (XLA path) ---
+            # --- dense radial edges (generic XLA path) ---
             w_dense = self.radial_nn(edges.attr_dense.astype(cdt))  # [G, N, N, weight_numel]
             src_attr = jnp.broadcast_to(node_attr[:, None, :, :], (G, N, N, node_attr.shape[-1]))
             msg = self.tp(src_attr, edges.sh_dense.astype(cdt), w_dense)  # [G, dst, src, out]

@@ -1,0 +1,82 @@
+"""XLA fast path for the dense l<=1 separable (uvu) convolution.
+
+Same math as the Pallas kernel (`ops/pallas/fused_conv.py`) in plain jnp with
+structure-of-arrays component planes: explicit y/z/x slices instead of the
+generic packed-irreps einsums, which removes the (mul, component) interleave
+reshapes/transposes the generic `WeightedTensorProduct` path forces XLA to
+materialize between stages. Unlike the Pallas kernel this path is usable
+inside `lax.scan` (it is ordinary XLA) and is differentiable, so it serves
+training too.
+
+dtp output block order matches `depthwise_tp`: [Sx0e, Sx1e, Vx1e, Vx0e, Vx1e].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+
+__all__ = ["fast_uvu_messages_dense"]
+
+_INV_SQRT3 = 1.0 / math.sqrt(3.0)
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+_SQRT3 = math.sqrt(3.0)
+
+
+def fast_uvu_messages_dense(
+    x: jnp.ndarray,        # [G, N, S + 3V] packed irreps node features
+    sh_dense: jnp.ndarray, # [G, N, N, 4]  (1x0e ++ 1x1e in (y,z,x))
+    weights: jnp.ndarray,  # [G, N, N, 2S + 3V] radial-MLP output
+    adj: jnp.ndarray,      # [G, N, N]
+    S: int,
+    V: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aggregated dtp messages [G, N, S + 3S + 3V + V + 3V] + degree [G, N]."""
+    G, N, _ = x.shape
+    dt = weights.dtype
+    s = x[..., :S].astype(dt)  # [G, N, S]
+    v = x[..., S:].reshape(G, N, V, 3).astype(dt)
+    vy, vz, vx = v[..., 0], v[..., 1], v[..., 2]
+
+    shy = sh_dense[..., 1].astype(dt)  # [G, N, N]
+    shz = sh_dense[..., 2].astype(dt)
+    shx = sh_dense[..., 3].astype(dt)
+
+    w1 = weights[..., 0:S]
+    w2 = weights[..., S : 2 * S]
+    w3 = weights[..., 2 * S : 2 * S + V]
+    w4 = weights[..., 2 * S + V : 2 * S + 2 * V]
+    w5 = weights[..., 2 * S + 2 * V : 2 * S + 3 * V]
+
+    adj = adj.astype(dt)
+    adj3 = adj[..., None]
+
+    def agg(msg):  # [G, N(dst), N(src), C] -> [G, N, C]
+        return jnp.sum(msg * adj3, axis=2)
+
+    sj = s[:, None, :, :]  # broadcast src over dst
+    o1 = agg(w1 * sj)
+    t2 = w2 * sj
+    o2y = agg(t2 * shy[..., None])
+    o2z = agg(t2 * shz[..., None])
+    o2x = agg(t2 * shx[..., None])
+
+    vyj, vzj, vxj = vy[:, None], vz[:, None], vx[:, None]
+    shy3, shz3, shx3 = shy[..., None], shz[..., None], shx[..., None]
+    o3y = agg(w3 * vyj)
+    o3z = agg(w3 * vzj)
+    o3x = agg(w3 * vxj)
+    o4 = agg(w4 * (vyj * shy3 + vzj * shz3 + vxj * shx3) * _INV_SQRT3)
+    # cross product in the cyclic (y, z, x) basis
+    o5y = agg(w5 * (vzj * shx3 - vxj * shz3) * _INV_SQRT2)
+    o5z = agg(w5 * (vxj * shy3 - vyj * shx3) * _INV_SQRT2)
+    o5x = agg(w5 * (vyj * shz3 - vzj * shy3) * _INV_SQRT2)
+
+    s1e = jnp.stack([o2y, o2z, o2x], axis=-1).reshape(G, N, 3 * S)
+    v3 = jnp.stack([o3y, o3z, o3x], axis=-1).reshape(G, N, 3 * V)
+    v5 = jnp.stack([o5y, o5z, o5x], axis=-1).reshape(G, N, 3 * V)
+    packed = jnp.concatenate([o1, s1e, v3, o4, v5], axis=-1)
+    deg = jnp.sum(adj, axis=-1)
+    return packed, deg
