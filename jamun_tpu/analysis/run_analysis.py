@@ -9,11 +9,9 @@ reference-MD trajectories. Host-side numpy throughout.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import logging
-import pickle
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List
 
 import numpy as np
 
@@ -121,7 +119,6 @@ def analyze_trajectories(
 
 
 def main(argv=None):
-    from jamun_tpu.data.datasets import TrajectoryDataset
     from jamun_tpu.data.dcd import read_dcd
     from jamun_tpu.data.topology import load_pdb, preprocess_topology
 

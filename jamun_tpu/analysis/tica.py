@@ -5,7 +5,7 @@ the PyEMMA dependency of the reference analysis pipeline
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 from jamun_tpu.config.instantiate import instantiate
 from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
@@ -15,6 +15,23 @@ def setup_logging(level=logging.INFO):
     logging.basicConfig(
         level=level, format="[%(asctime)s][%(name)s][%(levelname)s] %(message)s"
     )
+    load_dotenv()
+
+
+def load_dotenv(path: str = ".env") -> None:
+    """Minimal .env loader (reference uses python-dotenv, cmdline/train.py:22):
+    KEY=VALUE lines populate os.environ without overriding existing values."""
+    import os
+
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            os.environ.setdefault(key.strip(), value.strip().strip('"').strip("'"))
 
 
 def build_denoiser(model_cfg: Dict[str, Any], average_squared_distance: Optional[float] = None) -> Denoiser:

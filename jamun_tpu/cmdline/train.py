@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-import sys
 
 from jamun_tpu.cmdline.common import build_denoiser, build_optimizer, setup_logging
 from jamun_tpu.config.compose import compose

@@ -14,7 +14,6 @@ Datasets are deduplicated by constructor args like the reference's @singleton
 
 from __future__ import annotations
 
-import functools
 import os
 import threading
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple

@@ -6,8 +6,6 @@ import os
 import re
 from typing import List, Optional, Sequence
 
-import numpy as np
-
 from jamun_tpu.data.datasets import IterableTrajectoryDataset, TrajectoryDataset
 
 __all__ = ["parse_datasets_from_directory", "create_dataset_from_pdbs"]

@@ -12,7 +12,7 @@ structures, which the denoiser pulls onto the data manifold.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

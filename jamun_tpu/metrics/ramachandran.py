@@ -6,7 +6,7 @@ Reference: `/root/reference/src/jamun/metrics/_ramachandran.py:141-247`.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -15,7 +15,7 @@ are jit/vmap/scan-safe. Exact formula parity:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ bondedness embedding) are computed once per forward and shared by all layers.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Sequence, Union
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -25,11 +25,10 @@ from jamun_tpu.models.noise_conditioning import NoiseConditionalScaling, NoiseCo
 from jamun_tpu.ops.conv import ConvBlock
 from jamun_tpu.ops.gate import Gate
 from jamun_tpu.ops.graph import EdgeData, GraphBatch
-from jamun_tpu.ops.irreps import Irrep, Irreps, MulIrrep
+from jamun_tpu.ops.irreps import Irreps
 from jamun_tpu.ops.linear import IrrepsLinear
 from jamun_tpu.ops.radial import soft_one_hot_linspace
 from jamun_tpu.ops.sh import spherical_harmonics
-from jamun_tpu.ops.tensor_product import WeightedTensorProduct
 from jamun_tpu.ops.cg import real_wigner_3j
 
 __all__ = ["Ophiuchus", "tensor_square"]

@@ -13,15 +13,14 @@ the same softmax via segment sums.
 from __future__ import annotations
 
 import itertools
-from typing import Any, Optional, Sequence, Union
+from typing import Optional, Union
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from jamun_tpu.ops.gate import Gate
 from jamun_tpu.ops.graph import EdgeData
-from jamun_tpu.ops.irreps import Irreps, MulIrrep
+from jamun_tpu.ops.irreps import Irreps
 from jamun_tpu.ops.layer_norm import equivariant_layer_norm
 from jamun_tpu.ops.linear import IrrepsLinear
 from jamun_tpu.ops.mlp import EquivariantMLP, ScalarMLP

@@ -10,8 +10,7 @@ Bonded edges (a small static edge list) are added via per-graph segment_sum.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Sequence, Union
+from typing import Any, Optional, Sequence, Union
 
 import flax.linen as nn
 import jax
@@ -22,7 +21,7 @@ from jamun_tpu.ops.graph import EdgeData
 from jamun_tpu.ops.irreps import Irreps
 from jamun_tpu.ops.linear import IrrepsLinear
 from jamun_tpu.ops.mlp import ScalarMLP
-from jamun_tpu.ops.tensor_product import WeightedTensorProduct, depthwise_tp, fully_connected_tp
+from jamun_tpu.ops.tensor_product import depthwise_tp, fully_connected_tp
 
 __all__ = ["Conv", "SeparableConv", "ExperimentalConv", "ConvBlock"]
 

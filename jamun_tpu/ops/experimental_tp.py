@@ -9,10 +9,9 @@ Reference: `/root/reference/src/jamun/e3tools/nn/_tensor_product.py:61-91`
 from __future__ import annotations
 
 import math
-from typing import List, Tuple, Union
+from typing import List, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from jamun_tpu.ops.cg import real_wigner_3j
 from jamun_tpu.ops.irreps import Irreps
@@ -95,8 +94,6 @@ class ExperimentalTensorProduct:
         self.irreps_in2 = Irreps(irreps_in2)
         self.irreps_out = Irreps(irreps_out)
         # trace the output irreps of the full product once
-        import numpy as _np
-
         _, self._irreps_ftp = full_tensor_product(
             jnp.zeros((1, self.irreps_in1.dim)),
             jnp.zeros((1, self.irreps_in2.dim)),

@@ -6,7 +6,7 @@ Reference: `/root/reference/src/jamun/e3tools/nn/_extract_irreps.py:5` and
 
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Union
 
 import jax.numpy as jnp
 

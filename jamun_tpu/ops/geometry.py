@@ -8,7 +8,6 @@ reductions become masked means, no scatter needed.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["mean_center", "kabsch_align"]

@@ -12,7 +12,6 @@ Reference parity: `e3nn.o3.Irreps` as used throughout
 from __future__ import annotations
 
 import dataclasses
-import functools
 import re
 from typing import Iterator, List, Sequence, Tuple, Union
 

@@ -12,7 +12,6 @@ positions/features sharded on axis "data" along the atom dimension.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -10,7 +10,7 @@ before each batch.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 __all__ = [
     "DeltaSqrtDecayCallback",

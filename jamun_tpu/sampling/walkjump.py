@@ -8,13 +8,12 @@ it is a `lax.map` over frame chunks folded into the batch axis.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
 
 from jamun_tpu.ops.graph import GraphBatch
-from jamun_tpu.sampling.mcmc import MCMCConfig, _SplittingSampler
+from jamun_tpu.sampling.mcmc import _SplittingSampler
 
 __all__ = ["SingleMeasurementSampler"]
 

@@ -10,13 +10,11 @@ local manifest.json instead of the wandb run registry.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any, Dict, List, Optional
 
 import flax.serialization
-import jax
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "find_checkpoint", "CheckpointManager"]
 

@@ -8,7 +8,6 @@ Distribution subclasses). Here each is a tiny dataclass with
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Sequence, Tuple
 
 import jax

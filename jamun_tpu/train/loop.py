@@ -14,10 +14,9 @@ import dataclasses
 import logging
 import os
 import time
-from typing import Any, Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from jamun_tpu.data.datamodule import DataModule

@@ -9,8 +9,7 @@ over the mesh "data" axis — gradient psum is inserted by the compiler.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import flax.struct
 import jax

@@ -116,3 +116,39 @@ def test_kabsch_alignment_in_training():
     np.testing.assert_allclose(
         np.asarray(aligned), np.asarray(x * mask[..., None]), atol=1e-4
     )
+
+
+def test_fixed_noise_determinism(tiny_model):
+    """add_fixed_noise debug knob makes noising deterministic (denoiser.py:52-59)."""
+    arch, _, params, batch, _, _ = tiny_model
+    den = Denoiser(
+        arch,
+        DenoiserConfig(max_radius=1.0, average_squared_distance=0.5, add_fixed_noise=True),
+    )
+    f = jax.jit(lambda p, k: den.training_loss(p, k, batch, 0.04)[0])
+    l1 = float(f(params, jax.random.PRNGKey(0)))
+    l2 = float(f(params, jax.random.PRNGKey(42)))
+    assert l1 == l2  # independent of the rng key
+
+    den2 = Denoiser(
+        arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.5, add_fixed_ones=True)
+    )
+    y = den2.add_noise(jax.random.PRNGKey(0), batch, 0.1)
+    np.testing.assert_allclose(
+        np.asarray(y.pos), np.asarray(batch.pos + 0.1 * batch.node_mask[..., None]), atol=1e-6
+    )
+
+
+def test_mirror_augmentation():
+    from jamun_tpu.utils.testing import make_test_batch
+
+    arch = E3Conv(irreps_hidden="4x0e + 2x1e", n_layers=1, edge_attr_dim=4,
+                  atom_type_embedding_dim=2, atom_code_embedding_dim=2,
+                  residue_code_embedding_dim=2, residue_index_embedding_dim=2)
+    den = Denoiser(
+        arch,
+        DenoiserConfig(max_radius=1.0, average_squared_distance=0.5, mirror_augmentation_rate=1.0),
+    )
+    batch = make_test_batch(num_graphs=1, max_nodes=6)
+    y = den.add_noise(jax.random.PRNGKey(3), batch, 0.0)  # sigma 0: pure mirror
+    np.testing.assert_allclose(np.asarray(y.pos), -np.asarray(batch.pos), atol=1e-6)
