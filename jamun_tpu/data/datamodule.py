@@ -31,6 +31,7 @@ class DataModule:
     bucket_spec: BucketSpec = dataclasses.field(default_factory=BucketSpec)
     seed: int = 0
     streaming: bool = False
+    stream_weights: Optional[Sequence[float]] = None  # per-dataset interleave weights
     prefetch: int = 2  # background-thread prefetch depth (0 = synchronous)
 
     def _index(self, datasets) -> List:
@@ -42,7 +43,9 @@ class DataModule:
 
     def _iter_batches(self, datasets, shuffle: bool, seed: int) -> Iterator[GraphBatch]:
         if self.streaming:
-            stream = iter(StreamingRandomChainDataset(datasets, seed=seed))
+            stream = iter(
+                StreamingRandomChainDataset(datasets, weights=self.stream_weights, seed=seed)
+            )
             while True:
                 items = [next(stream) for _ in range(self.batch_size)]
                 yield collate(items, self.bucket_spec, num_graphs=self.batch_size)
