@@ -134,6 +134,9 @@ def run(cfg) -> None:
 
     sampler = Sampler(callbacks=callbacks)
     log.info("devices: %s", jax.devices())
+    # per-host seed offset (reference seeds cfg.seed + global_rank,
+    # cmdline/sample.py:86-88)
+    seed = int(cfg.get("seed", 0)) + jax.process_index()
     sampler.sample(
         denoiser,
         params,
@@ -141,7 +144,7 @@ def run(cfg) -> None:
         num_batches=cfg.get("num_batches", 5),
         init_graphs=init_graphs,
         continue_chain=cfg.get("continue_chain", True),
-        seed=cfg.get("seed", 0),
+        seed=seed,
     )
 
     # sampling-rate CSV (reference analysis/sampling_times layout)

@@ -21,7 +21,13 @@ class VESDEReverseDiffusionSampler:
     N: int = 1000
     eps: float = 1e-5
 
-    def sample(self, denoiser, params, init_graphs: GraphBatch, key):
+    @property
+    def sigma(self) -> float:
+        # Sampler-driver interface: the init-noise level (annealing starts at
+        # sigma_max regardless; y_init/v_init are ignored by this sampler)
+        return self.sigma_max
+
+    def sample(self, denoiser, params, init_graphs: GraphBatch, key, y_init=None, v_init=None):
         """Anneal from sigma_max noise down to clean samples.
 
         Returns dict with final "sample" plus y/xhat trajectories [N, G, n, 3].
@@ -53,6 +59,8 @@ class VESDEReverseDiffusionSampler:
         (y, _), (y_traj, y_mean_traj, xhat_traj) = jax.lax.scan(body, (y, key), (steps, ts))
         return {
             "sample": y_mean_traj[-1],
+            "y": y,
+            "v": jnp.zeros_like(y),
             "y_traj": y_traj,
             "y_mean_traj": y_mean_traj,
             "xhat_traj": xhat_traj,

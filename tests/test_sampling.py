@@ -87,3 +87,22 @@ def test_sampler_multidevice_mesh():
     # 2 real graphs survive unbatching; 6 padded dummies are dropped
     assert len(out[0]) == 2
     assert np.all(np.isfinite(out[0][0]["xhat_traj"]))
+
+
+def test_vesde_through_sampler_driver():
+    from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
+    from jamun_tpu.models.e3conv import E3Conv
+    from jamun_tpu.sampling.sampler import Sampler
+    from jamun_tpu.sampling.vesde import VESDEReverseDiffusionSampler
+    from jamun_tpu.utils.testing import make_test_batch
+
+    arch = E3Conv(irreps_hidden="4x0e + 2x1e", n_layers=1, edge_attr_dim=4,
+                  atom_type_embedding_dim=2, atom_code_embedding_dim=2,
+                  residue_code_embedding_dim=2, residue_index_embedding_dim=2)
+    den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.3))
+    init = make_test_batch(num_graphs=2, max_nodes=6)
+    params = den.init(jax.random.PRNGKey(0), init)
+    vesde = VESDEReverseDiffusionSampler(sigma_min=0.02, sigma_max=1.0, N=8)
+    out = Sampler().sample(den, params, vesde, num_batches=1, init_graphs=init)
+    assert len(out[0]) == 2
+    assert np.all(np.isfinite(out[0][0]["xhat_traj"]))
