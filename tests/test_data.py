@@ -144,3 +144,49 @@ def test_average_squared_distance():
     pos = np.asarray([[0, 0, 0], [0.3, 0, 0], [10.0, 0, 0]])
     v = compute_average_squared_distance(pos, cutoff=1.0)
     np.testing.assert_allclose(v, 0.09, rtol=1e-6)
+
+
+def test_datamodule_bucket_grouping(tmp_path):
+    """Batches group same-bucket graphs so XLA shape count stays bounded."""
+    from jamun_tpu.data.datamodule import DataModule
+    from jamun_tpu.data.datasets import TrajectoryDataset
+
+    # two datasets with different molecule sizes
+    for code, n_res in [("AA", 2), ("BBBB", 5)]:
+        top, pos = _dipeptide_topology()
+        # grow the second synthetic molecule
+        if n_res == 5:
+            import copy
+
+            atoms = []
+            pos_list = []
+            for r in range(5):
+                for a, p in zip(top.atoms[:4], pos[:4]):
+                    atoms.append(
+                        Atom(index=len(atoms), name=a.name, element=a.element,
+                             residue_name=a.residue_name, residue_index=r, residue_seq=r + 1)
+                    )
+                    pos_list.append(p + np.asarray([0.5 * r, 0, 0]))
+            top = Topology(atoms=atoms, bonds=[])
+            pos = np.asarray(pos_list, np.float32)
+        save_pdb(str(tmp_path / f"{code}-traj-state0.pdb"), top, pos)
+        traj = np.stack([pos + 0.001 * i for i in range(12)])
+        np.savez(str(tmp_path / f"{code}-traj-arrays.npz"), positions=traj)
+
+    from jamun_tpu.data.discovery import parse_datasets_from_directory
+
+    datasets = parse_datasets_from_directory(
+        root=str(tmp_path),
+        traj_pattern=r"^(.*)-traj-arrays.npz",
+        pdb_pattern=r"^(.*)-traj-state0.pdb",
+    )
+    dm = DataModule(datasets=datasets, batch_size=4, prefetch=0, seed=0)
+    shapes = set()
+    for batch in dm.train_batches(0):
+        shapes.add(batch.pos.shape)
+        # every batch contains graphs from one node bucket only
+        counts = np.asarray(batch.node_mask).sum(axis=1)
+        real = counts[np.asarray(batch.graph_mask)]
+        buckets = {dm.bucket_spec.node_bucket(int(c)) for c in real}
+        assert len(buckets) == 1
+    assert len(shapes) <= 2  # one shape per bucket
