@@ -78,8 +78,10 @@ class Conv(nn.Module):
         )
         # the remote Mosaic compiler handles large tiles well but its layout
         # solver can take pathologically long on tiny sub-tile shapes; restrict
-        # the compiled TPU path to well-shaped sizes (interpret mode is exempt)
-        if jax.default_backend() == "tpu":
+        # the compiled TPU path to well-shaped sizes (interpret mode is exempt).
+        # NOTE: tunneled TPU backends may report a platform name other than
+        # "tpu" (e.g. "axon").
+        if jax.default_backend() in ("tpu", "axon"):
             N = node_attr.shape[1]
             shapes_ok = shapes_ok and N >= 32 and irreps_in[0].mul >= 32 and irreps_in[1].mul >= 16
         return (
@@ -133,7 +135,7 @@ class Conv(nn.Module):
                 S=irreps_in[0].mul,
                 V=irreps_in[1].mul,
                 n_radial=(self.edge_attr_dim + 1) // 2,
-                interpret=jax.default_backend() != "tpu",  # CPU tests: interpreter
+                interpret=jax.default_backend() not in ("tpu", "axon"),  # CPU: interpreter
             )
             out = out.astype(out_dtype)
         elif self._fast_uvu_supported():
