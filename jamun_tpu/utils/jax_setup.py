@@ -12,7 +12,10 @@ import os
 
 log = logging.getLogger("jamun_tpu")
 
-_DEFAULT_CACHE_DIR = os.environ.get("JAMUN_TPU_JAX_CACHE", "/tmp/jamun_tpu_jax_cache")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_DEFAULT_CACHE_DIR = os.environ.get(
+    "JAMUN_TPU_JAX_CACHE", os.path.join(_REPO_ROOT, ".jax_cache")
+)
 
 
 def setup_jax(compilation_cache_dir: str = _DEFAULT_CACHE_DIR) -> None:
