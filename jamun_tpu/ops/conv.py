@@ -136,6 +136,7 @@ class Conv(nn.Module):
                 V=irreps_in[1].mul,
                 n_radial=(self.edge_attr_dim + 1) // 2,
                 interpret=jax.default_backend() not in ("tpu", "axon"),  # CPU: interpreter
+                compute_dtype=self.dtype,
             )
             out = out.astype(out_dtype)
         elif self._fast_uvu_supported():

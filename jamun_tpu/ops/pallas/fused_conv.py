@@ -46,7 +46,7 @@ def supports_fused_conv(S: int, V: int, sh_dim: int, attr_dim: int, radial_hidde
 
 
 def _kernel(
-    # inputs (per graph block)
+    # inputs (per graph block); feature/weight refs may be bf16 (compute_dtype)
     pos_ref,      # [1, N, 4]   xyz + pad
     s_ref,        # [1, N, S]   scalar features
     vy_ref,       # [1, N, V]
@@ -79,6 +79,7 @@ def _kernel(
     n_radial: int,
 ):
     f32 = jnp.float32
+    cdt = s_ref.dtype  # compute dtype of the feature path (f32 or bf16)
     cutoff = scalars_ref[0, 0]
     px = pos_ref[0, :, 0]
     py = pos_ref[0, :, 1]
@@ -99,13 +100,13 @@ def _kernel(
         & (~eye)
         & (mask[:, None] > 0)
         & (mask[None, :] > 0)
-    ).astype(f32)  # [N, N]
+    ).astype(cdt)  # [N, N]
 
     inv_d = 1.0 / jnp.maximum(dist, 1e-12)
     # sh1 in (y, z, x) order, component normalization sqrt(3) * n
-    shy = _SQRT3 * ry * inv_d
-    shz = _SQRT3 * rz * inv_d
-    shx = _SQRT3 * rx * inv_d
+    shy = (_SQRT3 * ry * inv_d).astype(cdt)
+    shz = (_SQRT3 * rz * inv_d).astype(cdt)
+    shx = (_SQRT3 * rx * inv_d).astype(cdt)
 
     # gaussian radial basis (soft_one_hot_linspace, cutoff=True):
     # centers c_k = cutoff * k/(n+1), k=1..n; width = cutoff/(n+1)
@@ -114,16 +115,17 @@ def _kernel(
     centers = step * k  # [1, n]
     dflat = dist.reshape(N * N, 1)
     diff = (dflat - centers) / step  # [N*N, n]
-    radial = jnp.exp(-(diff * diff)) * (1.0 / 1.12)
+    radial = (jnp.exp(-(diff * diff)) * (1.0 / 1.12)).astype(cdt)
 
     # edge attr = [bond0 (32) | radial (32)]
     bond_part = jnp.broadcast_to(bond0_ref[0][None, :], (N * N, 32))
     attr = jnp.concatenate([bond_part, radial], axis=1)  # [N*N, 64]
 
-    # radial MLP (MXU)
-    h = jnp.dot(attr, w1_ref[...], preferred_element_type=f32) + b1_ref[0][None, :]
-    h = h * jax.nn.sigmoid(h)  # SiLU
-    w = jnp.dot(h, w2_ref[...], preferred_element_type=f32) + b2_ref[0][None, :]  # [N*N, W]
+    # radial MLP (MXU, f32 accumulate; SiLU in f32 — Mosaic's bf16 logistic
+    # lowering is broken)
+    h32 = jnp.dot(attr, w1_ref[...], preferred_element_type=f32) + b1_ref[0][None, :].astype(f32)
+    h = (h32 * jax.nn.sigmoid(h32)).astype(cdt)  # SiLU
+    w = (jnp.dot(h, w2_ref[...], preferred_element_type=f32) + b2_ref[0][None, :].astype(f32)).astype(cdt)  # [N*N, W]
 
     # split path weights (construction order: o1 S, o2 S, o3 V, o4 V, o5 V)
     w1p = w[:, 0:S].reshape(N, N, S)
@@ -139,8 +141,8 @@ def _kernel(
 
     adj3 = adj[:, :, None]
 
-    def agg(msg):  # [N(i), N(j), C] -> [N, C] masked sum over j
-        return jnp.sum(msg * adj3, axis=1)
+    def agg(msg):  # [N(i), N(j), C] -> [N, C] masked sum over j (f32 accumulate)
+        return jnp.sum((msg * adj3).astype(f32), axis=1).astype(out_s_ref.dtype)
 
     sj = s[None, :, :]  # src features broadcast over dst
     # o1: w1p * s[j]   (0e x 0e -> 0e, sh0 = 1)
@@ -171,12 +173,12 @@ def _kernel(
     dot = vyj * shy3 + vzj * shz3 + vxj * shx3
     out_v0_ref[0] = agg(w4p * dot * _INV_SQRT3)
 
-    deg_ref[0] = jnp.sum(adj, axis=1)[:, None]
+    deg_ref[0] = jnp.sum(adj.astype(f32), axis=1)[:, None].astype(deg_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "V", "n_radial", "interpret"),
+    static_argnames=("S", "V", "n_radial", "interpret", "compute_dtype"),
 )
 def fused_uvu_conv_dense(
     pos: jnp.ndarray,       # [G, N, 3] f32
@@ -192,6 +194,7 @@ def fused_uvu_conv_dense(
     V: int,
     n_radial: int = 32,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (aggregated dtp messages [G, N, 2S+3V+... packed], degree [G, N]).
 
@@ -201,9 +204,10 @@ def fused_uvu_conv_dense(
     """
     G, N, _ = pos.shape
     f32 = jnp.float32
+    cdt = compute_dtype or jnp.float32
     # de-interleave the 1e block into SoA components
-    s_feat = x[..., :S].astype(f32)
-    v = x[..., S:].reshape(G, N, V, 3).astype(f32)
+    s_feat = x[..., :S].astype(cdt)
+    v = x[..., S:].reshape(G, N, V, 3).astype(cdt)
     vy, vz, vx = v[..., 0], v[..., 1], v[..., 2]
 
     pos_pad = jnp.concatenate([pos.astype(f32), jnp.zeros((G, N, 1), f32)], axis=-1)
@@ -261,11 +265,11 @@ def fused_uvu_conv_dense(
         vz,
         vx,
         maskf,
-        w1.astype(f32),
+        w1.astype(cdt),
         b1.astype(f32)[None],
-        w2.astype(f32),
+        w2.astype(cdt),
         b2.astype(f32)[None],
-        bond0.astype(f32)[None],
+        bond0.astype(cdt)[None],
         scalars,
     )
     o1, o2y, o2z, o2x, o3y, o3z, o3x, o4, o5y, o5z, o5x, deg = outs
