@@ -78,6 +78,21 @@ def run(cfg) -> None:
         maybe_wandb_logger(cfg.get("wandb_project")),
     )
 
+    if cfg["model"].get("test_equivariance"):
+        # runtime equivariance self-test on the first batch (reference
+        # e3conv.py:93-107 runs it on the first forward)
+        from jamun_tpu.train.state import create_train_state
+        from jamun_tpu.utils.equivariance import assert_arch_equivariant
+
+        batch0 = next(iter(datamodule.train_batches(0)))
+        state0 = create_train_state(denoiser, optimizer, batch0, seed=0)
+        c_noise = jax.numpy.asarray([jax.numpy.log(0.04) / 4.0])
+        cutoff = denoiser.effective_radial_cutoff(0.04)
+        err = assert_arch_equivariant(
+            jax.jit(lambda b: denoiser.arch.apply(state0.params, b, c_noise, cutoff)), batch0
+        )
+        log.info("equivariance self-test passed: max error %.2e", err)
+
     resume = cfg.get("resume_from_checkpoint")
     trainer = Trainer(tconf, loggers)
     log.info("devices: %s", jax.devices())

@@ -27,10 +27,15 @@ def _leaky_relu(x):
 
 
 class Gate:
-    """Stateless callable built from the target output irreps."""
+    """Stateless callable built from the target output irreps.
 
-    def __init__(self, irreps_out: Union[str, Irreps]):
+    act / act_gates: parity->activation maps (reference `_gate.py:36-48`;
+    defaults LeakyReLU/tanh for scalars, sigmoid/tanh for gates)."""
+
+    def __init__(self, irreps_out: Union[str, Irreps], act=None, act_gates=None):
         irreps_out = Irreps(irreps_out)
+        self.act = act or {1: _leaky_relu, -1: jnp.tanh}
+        self.act_gates = act_gates or {1: jax.nn.sigmoid, -1: jnp.tanh}
         self.irreps_scalars = Irreps([mi for mi in irreps_out if mi.ir.l == 0])
         self.irreps_gated = Irreps([mi for mi in irreps_out if mi.ir.l > 0])
         self.irreps_gates = Irreps([(mi.mul, "0e") for mi in self.irreps_gated])
@@ -47,10 +52,10 @@ class Gate:
         out = []
         ix = 0
         for mi in self.irreps_scalars:
-            act = _leaky_relu if mi.ir.p == 1 else jnp.tanh
-            out.append(act(scalars[..., ix : ix + mi.dim]))
+            out.append(self.act[mi.ir.p](scalars[..., ix : ix + mi.dim]))
             ix += mi.dim
         if d_g:
-            gated = scale_irreps(gated, jax.nn.sigmoid(gates), self.irreps_gated)
+            # gates are 0e scalars: even-parity gate activation applies
+            gated = scale_irreps(gated, self.act_gates[1](gates), self.irreps_gated)
         out.append(gated)
         return jnp.concatenate(out, axis=-1)
