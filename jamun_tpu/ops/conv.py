@@ -42,6 +42,7 @@ class Conv(nn.Module):
     tensor_product: str = "uvw"  # "uvw" (fully connected) | "uvu" (separable)
     dtype: Any = None  # compute dtype for the hot path (params stay float32)
     use_pallas: bool = False  # fused VMEM kernel for the dense radial part
+    pallas_graphs_per_program: int = 1  # kernel tiling: graphs per grid program
     fast_path: bool = True  # SoA component-plane XLA path for l<=1 uvu
 
     def setup(self):
@@ -137,6 +138,7 @@ class Conv(nn.Module):
                 n_radial=(self.edge_attr_dim + 1) // 2,
                 interpret=jax.default_backend() not in ("tpu", "axon"),  # CPU: interpreter
                 compute_dtype=self.dtype,
+                graphs_per_program=self.pallas_graphs_per_program,
             )
             out = out.astype(out_dtype)
         elif self._fast_uvu_supported():

@@ -47,12 +47,12 @@ def supports_fused_conv(S: int, V: int, sh_dim: int, attr_dim: int, radial_hidde
 
 def _kernel(
     # inputs (per graph block); feature/weight refs may be bf16 (compute_dtype)
-    pos_ref,      # [1, N, 4]   xyz + pad
-    s_ref,        # [1, N, S]   scalar features
-    vy_ref,       # [1, N, V]
-    vz_ref,       # [1, N, V]
-    vx_ref,       # [1, N, V]
-    mask_ref,     # [1, N, 1]   node mask
+    pos_ref,      # [K, N, 4]   xyz + pad
+    s_ref,        # [K, N, S]   scalar features
+    vy_ref,       # [K, N, V]
+    vz_ref,       # [K, N, V]
+    vx_ref,       # [K, N, V]
+    mask_ref,     # [K, N, 1]   node mask
     w1_ref,       # [64, 64]
     b1_ref,       # [1, 64]
     w2_ref,       # [64, W]     W = 2S + 3V
@@ -60,19 +60,48 @@ def _kernel(
     bond0_ref,    # [1, 32]     bondedness-0 embedding row
     scalars_ref,  # [1, 4]      cutoff, basis_step_inv ... in SMEM? keep VMEM
     # outputs
-    out_s_ref,    # [1, N, S]       o1
-    out_sy_ref,   # [1, N, S]       o2 (y)
-    out_sz_ref,   # [1, N, S]
-    out_sx_ref,   # [1, N, S]
-    out_v3y_ref,  # [1, N, V]       o3 (y)
-    out_v3z_ref,  # [1, N, V]
-    out_v3x_ref,  # [1, N, V]
-    out_v0_ref,   # [1, N, V]       o4
-    out_v5y_ref,  # [1, N, V]       o5 (y)
-    out_v5z_ref,  # [1, N, V]
-    out_v5x_ref,  # [1, N, V]
-    deg_ref,      # [1, N, 1]
+    out_s_ref,    # [K, N, S]       o1
+    out_sy_ref,   # [K, N, S]       o2 (y)
+    out_sz_ref,   # [K, N, S]
+    out_sx_ref,   # [K, N, S]
+    out_v3y_ref,  # [K, N, V]       o3 (y)
+    out_v3z_ref,  # [K, N, V]
+    out_v3x_ref,  # [K, N, V]
+    out_v0_ref,   # [K, N, V]       o4
+    out_v5y_ref,  # [K, N, V]       o5 (y)
+    out_v5z_ref,  # [K, N, V]
+    out_v5x_ref,  # [K, N, V]
+    deg_ref,      # [K, N, 1]
     *,
+    N: int,
+    S: int,
+    V: int,
+    n_radial: int,
+    K: int = 1,
+):
+    # K graphs per program (unrolled). Measured on v5e (G=128, N=48, S=120,
+    # V=32, bf16): K=1 2.56 ms/call, K=2 2.64, K=4 2.73 — per-program overhead
+    # is NOT the bottleneck (the kernel is relayout/VPU-bound), so K=1 is the
+    # default; the knob is kept for experimentation on other shapes.
+    for k in range(K):
+        _kernel_one(
+            pos_ref, s_ref, vy_ref, vz_ref, vx_ref, mask_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, bond0_ref, scalars_ref,
+            out_s_ref, out_sy_ref, out_sz_ref, out_sx_ref,
+            out_v3y_ref, out_v3z_ref, out_v3x_ref, out_v0_ref,
+            out_v5y_ref, out_v5z_ref, out_v5x_ref, deg_ref,
+            k=k, N=N, S=S, V=V, n_radial=n_radial,
+        )
+
+
+def _kernel_one(
+    pos_ref, s_ref, vy_ref, vz_ref, vx_ref, mask_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, bond0_ref, scalars_ref,
+    out_s_ref, out_sy_ref, out_sz_ref, out_sx_ref,
+    out_v3y_ref, out_v3z_ref, out_v3x_ref, out_v0_ref,
+    out_v5y_ref, out_v5z_ref, out_v5x_ref, deg_ref,
+    *,
+    k: int,
     N: int,
     S: int,
     V: int,
@@ -81,10 +110,10 @@ def _kernel(
     f32 = jnp.float32
     cdt = s_ref.dtype  # compute dtype of the feature path (f32 or bf16)
     cutoff = scalars_ref[0, 0]
-    px = pos_ref[0, :, 0]
-    py = pos_ref[0, :, 1]
-    pz = pos_ref[0, :, 2]
-    mask = mask_ref[0, :, 0]  # [N]
+    px = pos_ref[k, :, 0]
+    py = pos_ref[k, :, 1]
+    pz = pos_ref[k, :, 2]
+    mask = mask_ref[k, :, 0]  # [N]
 
     # pair geometry: rel[i, j] = pos[j] - pos[i]
     rx = px[None, :] - px[:, None]  # [N, N]
@@ -111,8 +140,8 @@ def _kernel(
     # gaussian radial basis (soft_one_hot_linspace, cutoff=True):
     # centers c_k = cutoff * k/(n+1), k=1..n; width = cutoff/(n+1)
     step = cutoff / (n_radial + 1)
-    k = jax.lax.broadcasted_iota(jnp.int32, (1, n_radial), 1).astype(f32) + 1.0  # [1, n]
-    centers = step * k  # [1, n]
+    kb = jax.lax.broadcasted_iota(jnp.int32, (1, n_radial), 1).astype(f32) + 1.0  # [1, n]
+    centers = step * kb  # [1, n]
     dflat = dist.reshape(N * N, 1)
     diff = (dflat - centers) / step  # [N*N, n]
     radial = (jnp.exp(-(diff * diff)) * (1.0 / 1.12)).astype(cdt)
@@ -134,10 +163,10 @@ def _kernel(
     w4p = w[:, 2 * S + V : 2 * S + 2 * V].reshape(N, N, V)
     w5p = w[:, 2 * S + 2 * V : 2 * S + 3 * V].reshape(N, N, V)
 
-    s = s_ref[0]  # [N, S] (src index j)
-    vy = vy_ref[0]
-    vz = vz_ref[0]
-    vx = vx_ref[0]
+    s = s_ref[k]  # [N, S] (src index j)
+    vy = vy_ref[k]
+    vz = vz_ref[k]
+    vx = vx_ref[k]
 
     adj3 = adj[:, :, None]
 
@@ -146,12 +175,12 @@ def _kernel(
 
     sj = s[None, :, :]  # src features broadcast over dst
     # o1: w1p * s[j]   (0e x 0e -> 0e, sh0 = 1)
-    out_s_ref[0] = agg(w1p * sj)
+    out_s_ref[k] = agg(w1p * sj)
     # o2: w2p * s[j] * sh1_k
     t2 = w2p * sj
-    out_sy_ref[0] = agg(t2 * shy[:, :, None])
-    out_sz_ref[0] = agg(t2 * shz[:, :, None])
-    out_sx_ref[0] = agg(t2 * shx[:, :, None])
+    out_sy_ref[k] = agg(t2 * shy[:, :, None])
+    out_sz_ref[k] = agg(t2 * shz[:, :, None])
+    out_sx_ref[k] = agg(t2 * shx[:, :, None])
     # o3: w3p * v[j]_k ; o5: w5p * (v[j] x sh1)_k / sqrt(2)
     vyj = vy[None, :, :]
     vzj = vz[None, :, :]
@@ -163,22 +192,22 @@ def _kernel(
     cy = vzj * shx3 - vxj * shz3
     cz = vxj * shy3 - vyj * shx3
     cx = vyj * shz3 - vzj * shy3
-    out_v3y_ref[0] = agg(w3p * vyj)
-    out_v3z_ref[0] = agg(w3p * vzj)
-    out_v3x_ref[0] = agg(w3p * vxj)
-    out_v5y_ref[0] = agg(w5p * cy * _INV_SQRT2)
-    out_v5z_ref[0] = agg(w5p * cz * _INV_SQRT2)
-    out_v5x_ref[0] = agg(w5p * cx * _INV_SQRT2)
+    out_v3y_ref[k] = agg(w3p * vyj)
+    out_v3z_ref[k] = agg(w3p * vzj)
+    out_v3x_ref[k] = agg(w3p * vxj)
+    out_v5y_ref[k] = agg(w5p * cy * _INV_SQRT2)
+    out_v5z_ref[k] = agg(w5p * cz * _INV_SQRT2)
+    out_v5x_ref[k] = agg(w5p * cx * _INV_SQRT2)
     # o4: w4p * (v[j] . sh1) / sqrt(3)
     dot = vyj * shy3 + vzj * shz3 + vxj * shx3
-    out_v0_ref[0] = agg(w4p * dot * _INV_SQRT3)
+    out_v0_ref[k] = agg(w4p * dot * _INV_SQRT3)
 
-    deg_ref[0] = jnp.sum(adj.astype(f32), axis=1)[:, None].astype(deg_ref.dtype)
+    deg_ref[k] = jnp.sum(adj.astype(f32), axis=1)[:, None].astype(deg_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "V", "n_radial", "interpret", "compute_dtype"),
+    static_argnames=("S", "V", "n_radial", "interpret", "compute_dtype", "graphs_per_program"),
 )
 def fused_uvu_conv_dense(
     pos: jnp.ndarray,       # [G, N, 3] f32
@@ -195,6 +224,7 @@ def fused_uvu_conv_dense(
     n_radial: int = 32,
     interpret: bool = False,
     compute_dtype=None,
+    graphs_per_program: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (aggregated dtp messages [G, N, 2S+3V+... packed], degree [G, N]).
 
@@ -205,40 +235,51 @@ def fused_uvu_conv_dense(
     G, N, _ = pos.shape
     f32 = jnp.float32
     cdt = compute_dtype or jnp.float32
+    # tile K graphs per kernel program (amortizes grid dispatch + DMA latency);
+    # pad G up to a multiple of K with masked-out graphs.
+    K = max(1, min(graphs_per_program, G))
+    Gp = ((G + K - 1) // K) * K
+    if Gp != G:
+        padg = Gp - G
+        pos = jnp.concatenate([pos, jnp.zeros((padg, N, 3), pos.dtype)], axis=0)
+        node_mask = jnp.concatenate(
+            [node_mask, jnp.zeros((padg, N), node_mask.dtype)], axis=0
+        )
+        x = jnp.concatenate([x, jnp.zeros((padg,) + x.shape[1:], x.dtype)], axis=0)
     # de-interleave the 1e block into SoA components
     s_feat = x[..., :S].astype(cdt)
-    v = x[..., S:].reshape(G, N, V, 3).astype(cdt)
+    v = x[..., S:].reshape(Gp, N, V, 3).astype(cdt)
     vy, vz, vx = v[..., 0], v[..., 1], v[..., 2]
 
-    pos_pad = jnp.concatenate([pos.astype(f32), jnp.zeros((G, N, 1), f32)], axis=-1)
+    pos_pad = jnp.concatenate([pos.astype(f32), jnp.zeros((Gp, N, 1), f32)], axis=-1)
     maskf = node_mask.astype(f32)[..., None]
     scalars = jnp.broadcast_to(jnp.asarray([cutoff, 0.0, 0.0, 0.0], f32)[None], (1, 4))
 
-    kernel = functools.partial(_kernel, N=N, S=S, V=V, n_radial=n_radial)
+    kernel = functools.partial(_kernel, N=N, S=S, V=V, n_radial=n_radial, K=K)
 
     def gspec(shape):
-        return pl.BlockSpec((1,) + shape, lambda g: (g,) + (0,) * len(shape), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((K,) + shape, lambda g: (g,) + (0,) * len(shape), memory_space=pltpu.VMEM)
 
     def shared(shape):
         return pl.BlockSpec(shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((G, N, S), f32),  # o1
-        jax.ShapeDtypeStruct((G, N, S), f32),  # o2 y
-        jax.ShapeDtypeStruct((G, N, S), f32),  # o2 z
-        jax.ShapeDtypeStruct((G, N, S), f32),  # o2 x
-        jax.ShapeDtypeStruct((G, N, V), f32),  # o3 y
-        jax.ShapeDtypeStruct((G, N, V), f32),  # o3 z
-        jax.ShapeDtypeStruct((G, N, V), f32),  # o3 x
-        jax.ShapeDtypeStruct((G, N, V), f32),  # o4
-        jax.ShapeDtypeStruct((G, N, V), f32),  # o5 y
-        jax.ShapeDtypeStruct((G, N, V), f32),  # o5 z
-        jax.ShapeDtypeStruct((G, N, V), f32),  # o5 x
-        jax.ShapeDtypeStruct((G, N, 1), f32),  # degree
+        jax.ShapeDtypeStruct((Gp, N, S), f32),  # o1
+        jax.ShapeDtypeStruct((Gp, N, S), f32),  # o2 y
+        jax.ShapeDtypeStruct((Gp, N, S), f32),  # o2 z
+        jax.ShapeDtypeStruct((Gp, N, S), f32),  # o2 x
+        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o3 y
+        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o3 z
+        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o3 x
+        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o4
+        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o5 y
+        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o5 z
+        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o5 x
+        jax.ShapeDtypeStruct((Gp, N, 1), f32),  # degree
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(G,),
+        grid=(Gp // K,),
         in_specs=[
             gspec((N, 4)),
             gspec((N, S)),
@@ -273,6 +314,10 @@ def fused_uvu_conv_dense(
         scalars,
     )
     o1, o2y, o2z, o2x, o3y, o3z, o3x, o4, o5y, o5z, o5x, deg = outs
+    if Gp != G:
+        (o1, o2y, o2z, o2x, o3y, o3z, o3x, o4, o5y, o5z, o5x, deg) = (
+            a[:G] for a in (o1, o2y, o2z, o2x, o3y, o3z, o3x, o4, o5y, o5z, o5x, deg)
+        )
 
     # re-interleave to the packed dtp block order
     # [Sx0e | Sx1e | Vx1e(o3) | Vx0e(o4) | Vx1e(o5)].
