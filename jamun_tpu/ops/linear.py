@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from jamun_tpu.ops.irreps import Irreps
+from jamun_tpu.ops.precision import matmul_precision
 
 __all__ = ["IrrepsLinear"]
 
@@ -50,7 +51,10 @@ class IrrepsLinear(nn.Module):
                     (mi_in.mul, mi_out.mul),
                 )
                 f = x[..., sl_in[i_in]].reshape(batch_shape + (mi_in.mul, mi_in.ir.dim))
-                blk = jnp.einsum("...ui,uw->...wi", f, w.astype(x.dtype))
+                blk = jnp.einsum(
+                    "...ui,uw->...wi", f, w.astype(x.dtype),
+                    precision=matmul_precision(x.dtype),
+                )
                 acc = blk if acc is None else acc + blk
             if acc is None:
                 acc = jnp.zeros(batch_shape + (mi_out.mul, mi_out.ir.dim), dtype=x.dtype)

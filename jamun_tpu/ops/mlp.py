@@ -48,12 +48,16 @@ class ScalarMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from jamun_tpu.ops.precision import matmul_precision
+
+        prec = matmul_precision(self.dtype)
         for h in self.hidden_features:
             x = nn.Dense(
                 h,
                 kernel_init=torch_linear_kernel_init,
                 bias_init=torch_linear_bias_init(x.shape[-1]),
                 dtype=self.dtype,
+                precision=prec,
             )(x)
             x = self.activation(x)
         x = nn.Dense(
@@ -61,6 +65,7 @@ class ScalarMLP(nn.Module):
             kernel_init=torch_linear_kernel_init,
             bias_init=torch_linear_bias_init(x.shape[-1]),
             dtype=self.dtype,
+            precision=prec,
         )(x)
         return x
 

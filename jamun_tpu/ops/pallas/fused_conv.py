@@ -53,13 +53,22 @@ def _kernel(
     vz_ref,       # [K, N, V]
     vx_ref,       # [K, N, V]
     mask_ref,     # [K, N, 1]   node mask
-    w1_ref,       # [64, 64]
-    b1_ref,       # [1, 64]
-    w2_ref,       # [64, W]     W = 2S + 3V
-    b2_ref,       # [1, W]
-    bond0_ref,    # [1, 32]     bondedness-0 embedding row
+    w1_ref,       # [32, 64]    radial rows of layer 1 (bond rows folded into b1)
+    b1_ref,       # [1, 64]     effective bias: b1 + bond0 @ w1[bond rows]
+    w2o1_ref,     # [64, S]     layer-2 weights, split per TP path (lane-aligned)
+    b2o1_ref,     # [1, S]
+    w2o2_ref,     # [64, S]
+    b2o2_ref,     # [1, S]
+    w2o3_ref,     # [64, V]
+    b2o3_ref,     # [1, V]
+    w2o4_ref,     # [64, V]
+    b2o4_ref,     # [1, V]
+    w2o5_ref,     # [64, V]
+    b2o5_ref,     # [1, V]
     scalars_ref,  # [1, 4]      cutoff, basis_step_inv ... in SMEM? keep VMEM
-    # outputs
+    # outputs (separate per-plane buffers: a single packed [N, 4S+7V+1] output
+    # with in-kernel concat measured SLOWER — 2.34 vs 2.12 ms/call — the small
+    # lane-misaligned concat/slice copies cost more than the extra DMAs)
     out_s_ref,    # [K, N, S]       o1
     out_sy_ref,   # [K, N, S]       o2 (y)
     out_sz_ref,   # [K, N, S]
@@ -86,7 +95,9 @@ def _kernel(
     for k in range(K):
         _kernel_one(
             pos_ref, s_ref, vy_ref, vz_ref, vx_ref, mask_ref,
-            w1_ref, b1_ref, w2_ref, b2_ref, bond0_ref, scalars_ref,
+            w1_ref, b1_ref, w2o1_ref, b2o1_ref, w2o2_ref, b2o2_ref,
+            w2o3_ref, b2o3_ref, w2o4_ref, b2o4_ref, w2o5_ref, b2o5_ref,
+            scalars_ref,
             out_s_ref, out_sy_ref, out_sz_ref, out_sx_ref,
             out_v3y_ref, out_v3z_ref, out_v3x_ref, out_v0_ref,
             out_v5y_ref, out_v5z_ref, out_v5x_ref, deg_ref,
@@ -96,7 +107,9 @@ def _kernel(
 
 def _kernel_one(
     pos_ref, s_ref, vy_ref, vz_ref, vx_ref, mask_ref,
-    w1_ref, b1_ref, w2_ref, b2_ref, bond0_ref, scalars_ref,
+    w1_ref, b1_ref, w2o1_ref, b2o1_ref, w2o2_ref, b2o2_ref,
+    w2o3_ref, b2o3_ref, w2o4_ref, b2o4_ref, w2o5_ref, b2o5_ref,
+    scalars_ref,
     out_s_ref, out_sy_ref, out_sz_ref, out_sx_ref,
     out_v3y_ref, out_v3z_ref, out_v3x_ref, out_v0_ref,
     out_v5y_ref, out_v5z_ref, out_v5x_ref, deg_ref,
@@ -146,32 +159,35 @@ def _kernel_one(
     diff = (dflat - centers) / step  # [N*N, n]
     radial = (jnp.exp(-(diff * diff)) * (1.0 / 1.12)).astype(cdt)
 
-    # edge attr = [bond0 (32) | radial (32)]
-    bond_part = jnp.broadcast_to(bond0_ref[0][None, :], (N * N, 32))
-    attr = jnp.concatenate([bond_part, radial], axis=1)  # [N*N, 64]
-
     # radial MLP (MXU, f32 accumulate; SiLU in f32 — Mosaic's bf16 logistic
-    # lowering is broken)
-    h32 = jnp.dot(attr, w1_ref[...], preferred_element_type=f32) + b1_ref[0][None, :].astype(f32)
+    # lowering is broken). The bondedness-0 embedding column block of the
+    # first layer is constant across edges and pre-folded into b1 host-side,
+    # so layer 1 is a single aligned [N*N, 32] x [32, 64] matmul (no concat).
+    h32 = jnp.dot(radial, w1_ref[...], preferred_element_type=f32) + b1_ref[0][None, :].astype(f32)
     h = (h32 * jax.nn.sigmoid(h32)).astype(cdt)  # SiLU
-    w = (jnp.dot(h, w2_ref[...], preferred_element_type=f32) + b2_ref[0][None, :].astype(f32)).astype(cdt)  # [N*N, W]
 
-    # split path weights (construction order: o1 S, o2 S, o3 V, o4 V, o5 V)
-    w1p = w[:, 0:S].reshape(N, N, S)
-    w2p = w[:, S : 2 * S].reshape(N, N, S)
-    w3p = w[:, 2 * S : 2 * S + V].reshape(N, N, V)
-    w4p = w[:, 2 * S + V : 2 * S + 2 * V].reshape(N, N, V)
-    w5p = w[:, 2 * S + 2 * V : 2 * S + 3 * V].reshape(N, N, V)
+    adjflat = adj.reshape(N * N, 1)
+
+    def path_w(w2k_ref, b2k_ref, C):
+        # one lane-aligned matmul per TP path — slicing a fused [N*N, 2S+3V]
+        # output at non-128-multiple lane offsets forced Mosaic relayouts.
+        wk = jnp.dot(h, w2k_ref[...], preferred_element_type=f32) + b2k_ref[0][None, :].astype(f32)
+        return (wk.astype(cdt) * adjflat).reshape(N, N, C)  # adjacency pre-applied
+
+    # path weights (construction order: o1 S, o2 S, o3 V, o4 V, o5 V)
+    w1p = path_w(w2o1_ref, b2o1_ref, S)
+    w2p = path_w(w2o2_ref, b2o2_ref, S)
+    w3p = path_w(w2o3_ref, b2o3_ref, V)
+    w4p = path_w(w2o4_ref, b2o4_ref, V)
+    w5p = path_w(w2o5_ref, b2o5_ref, V)
 
     s = s_ref[k]  # [N, S] (src index j)
     vy = vy_ref[k]
     vz = vz_ref[k]
     vx = vx_ref[k]
 
-    adj3 = adj[:, :, None]
-
-    def agg(msg):  # [N(i), N(j), C] -> [N, C] masked sum over j (f32 accumulate)
-        return jnp.sum((msg * adj3).astype(f32), axis=1).astype(out_s_ref.dtype)
+    def agg(msg):  # [N(i), N(j), C] -> [N, C] sum over j (adj already in w)
+        return jnp.sum(msg.astype(f32), axis=1).astype(out_s_ref.dtype)
 
     sj = s[None, :, :]  # src features broadcast over dst
     # o1: w1p * s[j]   (0e x 0e -> 0e, sh0 = 1)
@@ -255,6 +271,25 @@ def fused_uvu_conv_dense(
     maskf = node_mask.astype(f32)[..., None]
     scalars = jnp.broadcast_to(jnp.asarray([cutoff, 0.0, 0.0, 0.0], f32)[None], (1, 4))
 
+    # host-side weight prep: the edge attr is [bond0 (const) | radial], so the
+    # bond block of layer 1 contributes a constant vector — fold it into the
+    # bias; split layer 2 per TP path so every kernel matmul output is
+    # lane-aligned (slicing a fused [N*N, 2S+3V] at offsets S, 2S, ... forced
+    # Mosaic relayouts that dominated the kernel's runtime).
+    nb = w1.shape[0] - n_radial  # bond-embedding rows of layer 1
+    # full-precision fold (XLA's default TPU matmul precision is bf16 — that
+    # rounding on a BIAS is amplified across every edge)
+    b1_eff = b1 + jnp.einsum(
+        "i,ij->j", bond0.astype(f32), w1[:nb].astype(f32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    w1r = w1[nb:]  # [n_radial, 64]
+    w2s = []
+    off = 0
+    for C in (S, S, V, V, V):
+        w2s.append((w2[:, off : off + C].astype(cdt), b2[off : off + C].astype(f32)[None]))
+        off += C
+
     kernel = functools.partial(_kernel, N=N, S=S, V=V, n_radial=n_radial, K=K)
 
     def gspec(shape):
@@ -263,19 +298,9 @@ def fused_uvu_conv_dense(
     def shared(shape):
         return pl.BlockSpec(shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM)
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((Gp, N, S), f32),  # o1
-        jax.ShapeDtypeStruct((Gp, N, S), f32),  # o2 y
-        jax.ShapeDtypeStruct((Gp, N, S), f32),  # o2 z
-        jax.ShapeDtypeStruct((Gp, N, S), f32),  # o2 x
-        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o3 y
-        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o3 z
-        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o3 x
-        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o4
-        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o5 y
-        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o5 z
-        jax.ShapeDtypeStruct((Gp, N, V), f32),  # o5 x
-        jax.ShapeDtypeStruct((Gp, N, 1), f32),  # degree
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((Gp, N, C), f32)
+        for C in (S, S, S, S, V, V, V, V, V, V, V, 1)
     )
     outs = pl.pallas_call(
         kernel,
@@ -287,18 +312,24 @@ def fused_uvu_conv_dense(
             gspec((N, V)),
             gspec((N, V)),
             gspec((N, 1)),
-            shared((64, 64)),
+            shared((n_radial, 64)),
             shared((1, 64)),
-            shared((64, w2.shape[-1])),
-            shared((1, w2.shape[-1])),
-            shared((1, 32)),
-            shared((1, 4)),
-        ],
-        out_specs=tuple(
-            gspec(sh.shape[1:]) for sh in out_shapes
-        ),
+        ]
+        + [
+            spec
+            for wk, bk in w2s
+            for spec in (shared(wk.shape), shared(bk.shape))
+        ]
+        + [shared((1, 4))],
+        out_specs=tuple(gspec(sh.shape[1:]) for sh in out_shapes),
         out_shape=out_shapes,
         interpret=interpret,
+        # f32 mode + highest matmul precision (jax_setup) inflates the
+        # in-kernel matmul scratch past the 16 MiB scoped-vmem default when
+        # K > 1; raise the ceiling (v5e has far more VMEM than the default).
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(
         pos_pad,
         s_feat,
@@ -306,18 +337,14 @@ def fused_uvu_conv_dense(
         vz,
         vx,
         maskf,
-        w1.astype(cdt),
-        b1.astype(f32)[None],
-        w2.astype(cdt),
-        b2.astype(f32)[None],
-        bond0.astype(cdt)[None],
+        w1r.astype(cdt),
+        b1_eff.astype(f32)[None],
+        *[a for wk, bk in w2s for a in (wk, bk)],
         scalars,
     )
-    o1, o2y, o2z, o2x, o3y, o3z, o3x, o4, o5y, o5z, o5x, deg = outs
-    if Gp != G:
-        (o1, o2y, o2z, o2x, o3y, o3z, o3x, o4, o5y, o5z, o5x, deg) = (
-            a[:G] for a in (o1, o2y, o2z, o2x, o3y, o3z, o3x, o4, o5y, o5z, o5x, deg)
-        )
+    o1, o2y, o2z, o2x, o3y, o3z, o3x, o4, o5y, o5z, o5x, deg = (
+        (a[:G] if Gp != G else a) for a in outs
+    )
 
     # re-interleave to the packed dtp block order
     # [Sx0e | Sx1e | Vx1e(o3) | Vx0e(o4) | Vx1e(o5)].
