@@ -4,13 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference's published 2.5 ms/sample on Timewarp 4AA, 1 GPU
 (`/root/reference/analysis/sampling_times/JAMUN.csv:4`), where one "sample" is
-one emitted walk-jump frame of one chain (save_every=1: each sample costs one
-walk denoiser forward + one jump forward). Here the whole walk is a fused
-lax.scan over vmapped chains on one TPU chip; vs_baseline = baseline_ms /
-our_ms (>1 is faster than the reference).
-
-The walk and jump are compiled as two separate programs (the tunneled remote
-compile service handles two medium programs far better than one huge one).
+one emitted walk-jump frame of one chain (save_every=1). Here the whole walk
+is a fused lax.scan over vmapped chains on one TPU chip, and the jump is FREE:
+BAOAB already evaluates the raw score at every saved state, and
+score(y) = (xhat(y) - y) / sigma^2 exactly, so the per-frame jump is the
+elementwise identity xhat = y + sigma^2 * score (see
+`jamun_tpu/sampling/walkjump.py` `fused_jump`) — the second denoiser pass the
+reference runs per frame (`walkjump/_single_measurement.py`) never happens.
+vs_baseline = baseline_ms / our_ms (>1 is faster than the reference).
 """
 
 from __future__ import annotations
@@ -66,47 +67,33 @@ def main():
     )
 
     @jax.jit
-    def walk(params, y0, key):
+    def walk_jump(params, y0, key):
         def score_fn(y):
             return den.score(params, batch.replace_pos(y), SIGMA)
 
-        y, v, y_traj, _ = mcmc(key, y0, score_fn, v_init="gaussian", mask=mask)
-        return y, v, y_traj
-
-    @jax.jit
-    def jump(params, y_traj):
-        def xhat_frame(y):
-            return den.xhat(params, batch.replace_pos(y), SIGMA)
-
-        return jax.lax.map(xhat_frame, y_traj)
+        y, v, y_traj, score_traj = mcmc(key, y0, score_fn, v_init="gaussian", mask=mask)
+        # fused jump: xhat = y + sigma^2 * score, exactly (BAOAB saves the raw
+        # score at every saved state) — zero additional denoiser forwards
+        xhat_traj = y_traj + (SIGMA**2) * score_traj
+        return y, v, y_traj, xhat_traj
 
     y0 = batch.pos + SIGMA * jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape) * mask
 
-    log("compiling walk...")
+    log("compiling fused walk-jump...")
     t0 = time.perf_counter()
-    y, v, y_traj = walk(params, y0, jax.random.PRNGKey(2))
-    jax.block_until_ready(y_traj)
-    log(f"walk compile+run {time.perf_counter() - t0:.1f}s; frames={y_traj.shape[0]}")
-
-    log("compiling jump...")
-    t0 = time.perf_counter()
-    xhat_traj = jump(params, y_traj)
+    y, v, y_traj, xhat_traj = walk_jump(params, y0, jax.random.PRNGKey(2))
     jax.block_until_ready(xhat_traj)
-    log(f"jump compile+run {time.perf_counter() - t0:.1f}s")
+    log(f"walk-jump compile+run {time.perf_counter() - t0:.1f}s; frames={y_traj.shape[0]}")
 
     # timed runs
-    walk_times, jump_times = [], []
+    times = []
     for i in range(2):
         t0 = time.perf_counter()
-        y, v, y_traj = walk(params, y, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(y_traj)
-        walk_times.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        xhat_traj = jump(params, y_traj)
+        y, v, y_traj, xhat_traj = walk_jump(params, y, jax.random.PRNGKey(3 + i))
         jax.block_until_ready(xhat_traj)
-        jump_times.append(time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
 
-    elapsed = min(walk_times) + min(jump_times)
+    elapsed = min(times)
     n_frames = int(y_traj.shape[0])
     n_samples = NUM_CHAINS * n_frames
     ms_per_sample = elapsed * 1e3 / n_samples
@@ -118,9 +105,8 @@ def main():
     }
     print(json.dumps(result))
     log(
-        f"chains={NUM_CHAINS} frames={n_frames} walk={min(walk_times):.3f}s "
-        f"jump={min(jump_times):.3f}s steps/sec/chip={(STEPS - 1) / min(walk_times):.1f} "
-        f"(x{NUM_CHAINS} chains)"
+        f"chains={NUM_CHAINS} frames={n_frames} walk_jump={elapsed:.3f}s "
+        f"steps/sec/chip={(STEPS - 1) / elapsed:.1f} (x{NUM_CHAINS} chains)"
     )
 
 

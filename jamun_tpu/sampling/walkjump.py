@@ -2,7 +2,13 @@
 
 Reference: `/root/reference/src/jamun/sampling/walkjump/_single_measurement.py:8-89`.
 The jump loop there runs one denoiser forward per saved frame in Python; here
-it is a `lax.map` over frame chunks folded into the batch axis.
+it is a `lax.map` over frame chunks folded into the batch axis — or, with
+`fused_jump` (default, BAOAB only), skipped entirely: the walk already
+evaluates the raw score at every saved state, and by the denoiser identity
+score(y) = (xhat(y) - y) / sigma^2 the jump is exactly
+xhat = y + sigma^2 * score — the trajectory jump costs ZERO extra denoiser
+forwards. (ABOBA carries the midpoint score, so it falls back to re-running
+the denoiser.)
 """
 
 from __future__ import annotations
@@ -13,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from jamun_tpu.ops.graph import GraphBatch
-from jamun_tpu.sampling.mcmc import _SplittingSampler
+from jamun_tpu.sampling.mcmc import BAOAB, _SplittingSampler
 
 __all__ = ["SingleMeasurementSampler"]
 
@@ -25,6 +31,7 @@ class SingleMeasurementSampler:
     mcmc: _SplittingSampler
     sigma: float
     jump_chunk_size: int = 0  # 0 = jump all frames at once
+    fused_jump: bool = True  # reuse walk scores for the trajectory jump (BAOAB)
 
     def walk(self, denoiser, params, init_graphs: GraphBatch, key, y_init, v_init="gaussian"):
         mask = init_graphs.node_mask[..., None].astype(y_init.dtype)
@@ -44,13 +51,15 @@ class SingleMeasurementSampler:
         def jump(y_frame):
             return denoiser.xhat(params, init_graphs.replace_pos(y_frame), self.sigma)
 
-        if y_traj.shape[0] > 0:
-            if self.jump_chunk_size and self.jump_chunk_size < y_traj.shape[0]:
-                xhat_traj = jax.lax.map(jump, y_traj, batch_size=self.jump_chunk_size)
-            else:
-                xhat_traj = jax.vmap(jump)(y_traj)
-        else:
+        if y_traj.shape[0] == 0:
             xhat_traj = jnp.zeros_like(y_traj)
+        elif self.fused_jump and isinstance(self.mcmc, BAOAB):
+            # zero-cost jump: the walk's saved raw score is at the saved state
+            xhat_traj = y_traj + (self.sigma**2) * out["score_traj"]
+        elif self.jump_chunk_size and self.jump_chunk_size < y_traj.shape[0]:
+            xhat_traj = jax.lax.map(jump, y_traj, batch_size=self.jump_chunk_size)
+        else:
+            xhat_traj = jax.vmap(jump)(y_traj)
 
         return {**out, "xhat": xhat, "xhat_traj": xhat_traj}
 

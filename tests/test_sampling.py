@@ -106,3 +106,36 @@ def test_vesde_through_sampler_driver():
     out = Sampler().sample(den, params, vesde, num_batches=1, init_graphs=init)
     assert len(out[0]) == 2
     assert np.all(np.isfinite(out[0][0]["xhat_traj"]))
+
+
+def test_fused_jump_matches_explicit_jump():
+    """fused_jump (xhat = y + sigma^2 * walk score) == re-running the denoiser."""
+    import dataclasses
+
+    from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
+    from jamun_tpu.models.e3conv import E3Conv
+    from jamun_tpu.sampling.walkjump import SingleMeasurementSampler
+    from jamun_tpu.utils.testing import make_test_batch
+
+    arch = E3Conv(irreps_hidden="4x0e + 2x1e", n_layers=1, edge_attr_dim=4,
+                  atom_type_embedding_dim=2, atom_code_embedding_dim=2,
+                  residue_code_embedding_dim=2, residue_index_embedding_dim=2)
+    den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.3))
+    init = make_test_batch(num_graphs=2, max_nodes=8)
+    params = den.init(jax.random.PRNGKey(0), init)
+    # score clipping only affects the walk dynamics, not the saved raw score
+    bs = SingleMeasurementSampler(
+        mcmc=BAOAB(MCMCConfig(delta=0.04, steps=6, save_every_n_steps=2, score_fn_clip=10.0)),
+        sigma=0.05,
+    )
+    key = jax.random.PRNGKey(3)
+    y0 = init.pos
+    fused = bs.walk_jump(den, params, init, key, y0)
+    explicit = dataclasses.replace(bs, fused_jump=False).walk_jump(den, params, init, key, y0)
+    np.testing.assert_allclose(
+        np.asarray(fused["xhat_traj"]), np.asarray(explicit["xhat_traj"]),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["y_traj"]), np.asarray(explicit["y_traj"]), atol=0, rtol=0
+    )
