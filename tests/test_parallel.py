@@ -1,0 +1,51 @@
+"""Parallelism: atom-sharded pair op exactness on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jamun_tpu.parallel.atom_sharded import atom_sharded_pair_op, shard_atoms
+from jamun_tpu.parallel.mesh import make_mesh
+
+
+def _dense_reference(x, pos):
+    d2 = jnp.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+    w = jnp.exp(-d2)
+    return w @ x
+
+
+def _pair_fn(x_full, pos_full, dst_start, n_local):
+    pos_dst = jax.lax.dynamic_slice_in_dim(pos_full, dst_start, n_local, axis=0)
+    d2 = jnp.sum((pos_dst[:, None, :] - pos_full[None, :, :]) ** 2, axis=-1)
+    w = jnp.exp(-d2)
+    return w @ x_full
+
+
+def test_atom_sharded_pair_op_exact():
+    """Sharded dst-slice computation == dense single-device result."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(0)
+    N, D = 8 * n_dev, 16
+    x = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    pos = jnp.asarray(rng.standard_normal((N, 3)).astype(np.float32))
+
+    ref = np.asarray(jax.jit(_dense_reference)(x, pos))
+
+    xs = shard_atoms(x, mesh)
+    ps = shard_atoms(pos, mesh)
+    with mesh:
+        out = np.asarray(atom_sharded_pair_op(mesh, _pair_fn)(xs, ps))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_shard_atoms_places_on_all_devices():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    mesh = make_mesh(len(jax.devices()))
+    x = jnp.zeros((8 * len(jax.devices()), 4))
+    xs = shard_atoms(x, mesh)
+    assert len(xs.sharding.device_set) == len(jax.devices())
