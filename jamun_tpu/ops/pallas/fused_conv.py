@@ -163,7 +163,16 @@ def _kernel_one(
     # lowering is broken). The bondedness-0 embedding column block of the
     # first layer is constant across edges and pre-folded into b1 host-side,
     # so layer 1 is a single aligned [N*N, 32] x [32, 64] matmul (no concat).
-    h32 = jnp.dot(radial, w1_ref[...], preferred_element_type=f32) + b1_ref[0][None, :].astype(f32)
+    # Explicit matmul precision: the framework-global "highest" default maps
+    # to a contract precision Mosaic rejects for bf16 operands ("Bad lhs
+    # type"); 16-bit operands take the (already exact) single pass.
+    from jamun_tpu.ops.precision import matmul_precision
+
+    prec = matmul_precision(cdt)
+    h32 = (
+        jnp.dot(radial, w1_ref[...], preferred_element_type=f32, precision=prec)
+        + b1_ref[0][None, :].astype(f32)
+    )
     h = (h32 * jax.nn.sigmoid(h32)).astype(cdt)  # SiLU
 
     adjflat = adj.reshape(N * N, 1)
@@ -171,7 +180,10 @@ def _kernel_one(
     def path_w(w2k_ref, b2k_ref, C):
         # one lane-aligned matmul per TP path — slicing a fused [N*N, 2S+3V]
         # output at non-128-multiple lane offsets forced Mosaic relayouts.
-        wk = jnp.dot(h, w2k_ref[...], preferred_element_type=f32) + b2k_ref[0][None, :].astype(f32)
+        wk = (
+            jnp.dot(h, w2k_ref[...], preferred_element_type=f32, precision=prec)
+            + b2k_ref[0][None, :].astype(f32)
+        )
         return (wk.astype(cdt) * adjflat).reshape(N, N, C)  # adjacency pre-applied
 
     # path weights (construction order: o1 S, o2 S, o3 V, o4 V, o5 V)
