@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jamun_tpu.ops.gate import Gate
 from jamun_tpu.ops.irreps import Irreps
 from jamun_tpu.ops.linear import IrrepsLinear
+from jamun_tpu.ops.precision import matmul_precision
 
 __all__ = ["ScalarMLP", "EquivariantMLPBlock", "EquivariantMLP", "torch_linear_kernel_init", "torch_linear_bias_init"]
 
@@ -48,8 +49,6 @@ class ScalarMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from jamun_tpu.ops.precision import matmul_precision
-
         prec = matmul_precision(self.dtype)
         for h in self.hidden_features:
             x = nn.Dense(
