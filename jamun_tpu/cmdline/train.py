@@ -86,10 +86,15 @@ def run(cfg) -> None:
 
         batch0 = next(iter(datamodule.train_batches(0)))
         state0 = create_train_state(denoiser, optimizer, batch0, seed=0)
+        # zero-initialized output gains make a fresh arch output all zeros —
+        # bump scalar params so the equivariance check is non-vacuous
+        params0 = jax.tree.map(
+            lambda p: p + 0.5 if p.ndim == 0 else p, state0.params
+        )
         c_noise = jax.numpy.asarray([jax.numpy.log(0.04) / 4.0])
         cutoff = denoiser.effective_radial_cutoff(0.04)
         err = assert_arch_equivariant(
-            jax.jit(lambda b: denoiser.arch.apply(state0.params, b, c_noise, cutoff)), batch0
+            jax.jit(lambda b: denoiser.arch.apply(params0, b, c_noise, cutoff)), batch0
         )
         log.info("equivariance self-test passed: max error %.2e", err)
 

@@ -33,6 +33,13 @@ def equivariance_error(
     D1 = jnp.asarray(R[np.ix_(perm, perm)])
 
     out = apply_fn(batch)
+    if float(jnp.max(jnp.abs(out))) == 0.0:
+        # zero output (e.g. zero-initialized output gain) makes the check
+        # vacuous — surface that instead of silently passing
+        raise ValueError(
+            "equivariance check is vacuous: apply_fn returned all zeros "
+            "(perturb zero-initialized output gains before testing)"
+        )
     batch_rot = batch.replace(
         pos=jnp.einsum("ij,gnj->gni", jnp.asarray(R), batch.pos) + translation
     )
