@@ -24,6 +24,7 @@ from jamun_tpu.ops.irreps import Irreps
 from jamun_tpu.ops.layer_norm import equivariant_layer_norm
 from jamun_tpu.ops.linear import IrrepsLinear
 from jamun_tpu.ops.mlp import EquivariantMLP, ScalarMLP
+from jamun_tpu.ops.precision import matmul_precision
 from jamun_tpu.ops.tensor_product import fully_connected_tp
 
 __all__ = ["Attention", "MultiheadAttention", "TransformerBlock", "split_irreps"]
@@ -117,7 +118,9 @@ class MultiheadAttention(nn.Module):
 
         alpha = exp / jnp.maximum(z[:, :, None], 1e-20)
         attn = jnp.sqrt(jax.nn.relu(alpha))
-        out = jnp.einsum("gijh,gijhd->gihd", attn, v).reshape(G, N, -1)
+        out = jnp.einsum(
+            "gijh,gijhd->gihd", attn, v, precision=matmul_precision(attn.dtype)
+        ).reshape(G, N, -1)
 
         z_bond = jnp.take_along_axis(z, edges.bond_dst[..., None], axis=1)  # [G, B, H]
         alpha_b = exp_b / jnp.maximum(z_bond, 1e-20)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from jamun_tpu.ops.cg import real_wigner_3j
 from jamun_tpu.ops.irreps import Irreps
+from jamun_tpu.ops.precision import matmul_precision
 
 __all__ = ["full_tensor_product", "ExperimentalTensorProduct", "external_linear"]
 
@@ -37,7 +38,10 @@ def full_tensor_product(
                     real_wigner_3j(mi1.ir.l, mi2.ir.l, ir3.l) * math.sqrt(ir3.dim),
                     dtype=x1.dtype,
                 )
-                blk = jnp.einsum("...ui,...vj,ijk->...uvk", f1, f2, C)
+                blk = jnp.einsum(
+                    "...ui,...vj,ijk->...uvk", f1, f2, C,
+                    precision=matmul_precision(x1.dtype),
+                )
                 blocks.append(blk.reshape(batch_shape + (mi1.mul * mi2.mul * ir3.dim,)))
                 out_irreps.append((mi1.mul * mi2.mul, ir3))
     return jnp.concatenate(blocks, axis=-1), Irreps(out_irreps)
@@ -71,7 +75,9 @@ class _ExternalLinear:
             mi, mo = self.irreps_in[ii], self.irreps_out[io]
             f = x[..., sl_in[ii]].reshape(batch_shape + (m_in, mi.ir.dim))
             w = weights[..., wsl].reshape(weights.shape[:-1] + (m_in, m_out))
-            blk = jnp.einsum("...ui,...uw->...wi", f, w) / math.sqrt(max(self._fan[io], 1))
+            blk = jnp.einsum(
+                "...ui,...uw->...wi", f, w, precision=matmul_precision(x.dtype)
+            ) / math.sqrt(max(self._fan[io], 1))
             out[io] = blk if out[io] is None else out[io] + blk
         flat = []
         for io, mo in enumerate(self.irreps_out):
