@@ -27,7 +27,19 @@ def save_checkpoint(path: str, state) -> None:
 
 def restore_checkpoint(path: str, target):
     with open(path, "rb") as f:
-        return flax.serialization.from_bytes(target, f.read())
+        data = f.read()
+    try:
+        return flax.serialization.from_bytes(target, data)
+    except (ValueError, KeyError) as e:
+        # flax raises a deep state-dict key mismatch when the checkpoint was
+        # written by a different model configuration — say so plainly
+        raise ValueError(
+            f"checkpoint {path!r} does not match the current model/optimizer "
+            "structure (it was probably saved with a different architecture "
+            "config or an older code version). Retrain or point "
+            "resume/checkpoint settings at a compatible checkpoint. "
+            f"Original error: {e}"
+        ) from e
 
 
 class CheckpointManager:
