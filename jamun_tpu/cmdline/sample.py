@@ -76,8 +76,18 @@ def run(cfg) -> None:
         seed=cfg.get("seed", 0),
     )
 
-    asd = model_cfg.get("average_squared_distance") or 0.5
-    denoiser = build_denoiser(model_cfg, asd)
+    # ASD sets the EDM preconditioning constants (c_in/c_skip/c_out); a value
+    # differing from training silently yields wrong samples, so never default.
+    asd = model_cfg.get("average_squared_distance")
+    if asd is None:
+        asd = cfg.get("average_squared_distance")
+    if asd is None:
+        raise ValueError(
+            "average_squared_distance used at training time could not be recovered "
+            f"(no config.pkl next to {ckpt_path} and no model.average_squared_distance "
+            "in the sampling config); pass average_squared_distance=<value> explicitly."
+        )
+    denoiser = build_denoiser(model_cfg, float(asd))
     optimizer = build_optimizer(model_cfg)
     state = create_train_state(denoiser, optimizer, init_graphs, seed=0)
     state = restore_checkpoint(ckpt_path, state)

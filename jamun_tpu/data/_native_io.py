@@ -12,8 +12,23 @@ import os
 import numpy as np
 
 _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_libtrajio.so")
+_SRC_PATH = os.path.normpath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "native", "trajio", "trajio.cpp")
+)
 
-if not os.path.exists(_LIB_PATH):
+
+def _stale() -> bool:
+    """Rebuild when the .so is missing or older than trajio.cpp, so source
+    edits take effect and a foreign-arch binary never gets loaded silently."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    try:
+        return os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return False
+
+
+if _stale():
     try:
         from jamun_tpu.data.build_native import build
 

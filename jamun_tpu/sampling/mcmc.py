@@ -74,10 +74,19 @@ class MCMCConfig:
         return 1.0 / self.M
 
     @property
+    def first_save_step(self) -> int:
+        """First absolute step index saved: the smallest multiple of
+        save_every_n_steps that is >= burn_in_steps (reference saves at
+        absolute i with i % save_every == 0 and i >= burn_in)."""
+        s = self.save_every_n_steps
+        return ((self.burn_in_steps + s - 1) // s) * s
+
+    @property
     def num_saved_frames(self) -> int:
-        # initial frame (if past burn-in) + one per full save_every chunk
-        n = max(self.steps - 1 - self.burn_in_steps, 0) // self.save_every_n_steps
-        return n + (1 if self.burn_in_steps == 0 else 0)
+        total = max(self.steps - 1, 0)
+        if self.first_save_step > total:
+            return 0
+        return 1 + (total - self.first_save_step) // self.save_every_n_steps
 
 
 class _SplittingSampler:
@@ -127,13 +136,23 @@ class _SplittingSampler:
             carry, _ = jax.lax.scan(lambda c, k: one_step(c, k), carry, keys)
             return carry
 
-        # burn-in
-        key, bkey = jax.random.split(key)
-        carry = run_steps(carry, bkey, cfg.burn_in_steps)
+        # Saves happen at absolute steps i with i % save_every == 0 and
+        # i >= burn_in (reference `_splitting.py:137-171`); burn-in therefore
+        # runs up to the save grid, not just burn_in_steps.
+        total = max(cfg.steps - 1, 0)
+        first_save = cfg.first_save_step
+        if first_save > total:
+            pre = total
+            n_chunks = 0
+            remainder = 0
+        else:
+            pre = first_save
+            n_chunks = (total - first_save) // cfg.save_every_n_steps
+            remainder = total - first_save - n_chunks * cfg.save_every_n_steps
 
-        total = max(cfg.steps - 1 - cfg.burn_in_steps, 0)
-        n_chunks = total // cfg.save_every_n_steps
-        remainder = total - n_chunks * cfg.save_every_n_steps
+        key, bkey = jax.random.split(key)
+        carry = run_steps(carry, bkey, pre)
+        carry0 = carry  # state at absolute step first_save (saved frame below)
 
         key, ckey = jax.random.split(key)
         if n_chunks > 0 and cfg.save_every_n_steps == 1:
@@ -158,9 +177,14 @@ class _SplittingSampler:
             y_traj = jnp.zeros((0,) + y.shape, y.dtype)
             score_traj = jnp.zeros((0,) + y.shape, y.dtype)
 
-        if cfg.burn_in_steps == 0:
-            y_traj = jnp.concatenate([y[None], y_traj], axis=0)
-            s0 = self._initial_score(y, processed)
+        if first_save <= total:
+            # frame at absolute step first_save: initial state when burn_in==0,
+            # else the post-burn-in carry (first on-grid step past burn-in)
+            if first_save == 0:
+                f0, s0 = y, self._initial_score(y, processed)
+            else:
+                f0, s0 = self._get_y(carry0), self._get_score(carry0)
+            y_traj = jnp.concatenate([f0[None], y_traj], axis=0)
             score_traj = jnp.concatenate([s0[None], score_traj], axis=0)
 
         key, rkey = jax.random.split(key)

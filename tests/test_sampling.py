@@ -30,7 +30,8 @@ def test_gaussian_stationary_distribution(sampler_cls):
     samples = np.asarray(y_traj).reshape(-1)
     var = samples.var()
     assert abs(var - 1.0 / k) < 0.25 / k, f"variance {var} vs expected {1.0 / k}"
-    assert y_traj.shape[0] == cfg.num_saved_frames == 300
+    # saves at absolute i % 10 == 0, i >= 1000, i <= 4000 -> 301 frames
+    assert y_traj.shape[0] == cfg.num_saved_frames == 301
 
 
 def test_saved_frames_includes_initial():
@@ -41,6 +42,25 @@ def test_saved_frames_includes_initial():
     assert y_traj.shape[0] == 1 + 20 // 5
     np.testing.assert_allclose(np.asarray(y_traj[0]), np.asarray(y0))
     assert s_traj.shape == y_traj.shape
+
+
+@pytest.mark.parametrize("burn_in,expected_steps", [(3, [4, 6, 8]), (4, [4, 6, 8]), (0, [0, 2, 4, 6, 8])])
+def test_save_grid_matches_reference_semantics(burn_in, expected_steps):
+    """Reference saves at absolute steps i % save_every == 0 and i >= burn_in
+    (including i == burn_in); `_splitting.py:137-171`. With friction=0 and
+    zero score the walk is deterministic drift y_i = y0 + i*delta*v0, so the
+    saved frames pin down exactly which steps were saved."""
+    delta = 0.1
+    cfg = MCMCConfig(delta=delta, friction=0.0, steps=10, save_every_n_steps=2, burn_in_steps=burn_in)
+    sampler = BAOAB(cfg)
+    y0 = jnp.zeros((2, 3))
+    v0 = jnp.ones((2, 3))
+    _, _, y_traj, _ = jax.jit(
+        lambda k, y: sampler(k, y, lambda x: jnp.zeros_like(x), v_init=v0)
+    )(jax.random.PRNGKey(0), y0)
+    assert y_traj.shape[0] == cfg.num_saved_frames == len(expected_steps)
+    expected = np.stack([np.full((2, 3), i * delta) for i in expected_steps])
+    np.testing.assert_allclose(np.asarray(y_traj), expected, atol=1e-6)
 
 
 def test_mask_keeps_padding_zero():
