@@ -16,6 +16,7 @@ def test_score_clipping():
     np.testing.assert_allclose(np.asarray(orig), [[300.0, 400.0, 0.0]], rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sampler_cls", [BAOAB, ABOBA])
 def test_gaussian_stationary_distribution(sampler_cls):
     """On a quadratic potential U = k|y|^2/2 (score = -k y), the underdamped
@@ -128,6 +129,7 @@ def test_vesde_through_sampler_driver():
     assert np.all(np.isfinite(out[0][0]["xhat_traj"]))
 
 
+@pytest.mark.slow
 def test_fused_jump_matches_explicit_jump():
     """fused_jump (xhat = y + sigma^2 * walk score) == re-running the denoiser."""
     import dataclasses

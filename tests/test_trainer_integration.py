@@ -49,6 +49,7 @@ def _tiny_denoiser():
     return Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.15))
 
 
+@pytest.mark.slow
 def test_fit_checkpoint_resume(synthetic_dataset, tmp_path):
     den = _tiny_denoiser()
     dm = DataModule(datasets=[synthetic_dataset], batch_size=8, prefetch=0)
@@ -80,6 +81,7 @@ def test_fit_checkpoint_resume(synthetic_dataset, tmp_path):
     assert int(state2.step) >= 8
 
 
+@pytest.mark.slow
 def test_walkjump_sampling_end_to_end(synthetic_dataset):
     import jax
 

@@ -3,11 +3,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from jamun_tpu.sampling.mcmc import MCMCConfig
 from jamun_tpu.sampling.unrolled import UnrolledBAOAB
 
 
+@pytest.mark.slow
 def test_unrolled_baoab_stationary():
     k = 4.0
     cfg = MCMCConfig(delta=0.05, friction=1.0, steps=2001, save_every_n_steps=1)
