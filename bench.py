@@ -46,7 +46,8 @@ def main():
     from jamun_tpu.sampling.mcmc import BAOAB, MCMCConfig
     from jamun_tpu.utils.testing import make_test_batch
 
-    arch = E3Conv(tensor_product="uvu", dtype=jnp.bfloat16)
+    use_pallas = "--pallas" in sys.argv
+    arch = E3Conv(tensor_product="uvu", dtype=jnp.bfloat16, use_pallas=use_pallas)
     den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.5))
     batch = make_test_batch(
         num_graphs=NUM_CHAINS,

@@ -52,6 +52,7 @@ class _HiddenLayer(nn.Module):
     tensor_product: str
     dtype: Any
     use_pallas: bool
+    pallas_variant: str = "packed"
 
     @nn.compact
     def __call__(self, node_attr, edges, c_noise):
@@ -65,6 +66,7 @@ class _HiddenLayer(nn.Module):
             tensor_product=self.tensor_product,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pallas_variant=self.pallas_variant,
         )(scaled, edges)
         out = NoiseConditionalSkipConnection(irreps_hidden)(node_attr, layer_out, c_noise)
         return out, None
@@ -85,6 +87,7 @@ class E3Conv(nn.Module):
     tensor_product: str = "uvw"  # "uvw" = e3nn FullyConnectedTP (reference default)
     dtype: Any = None  # hot-path compute dtype, e.g. jnp.bfloat16 (params stay f32)
     use_pallas: bool = False  # fused VMEM conv kernel (uvu, l<=1 only)
+    pallas_variant: str = "packed"  # lane-packed [N*N, C] kernel | "plane" [N, N, C]
     scan_layers: bool = False  # lax.scan over the n identical hidden layers
     # (one layer compile instead of n; params gain a leading layer axis)
 
@@ -153,8 +156,10 @@ class E3Conv(nn.Module):
             edge_attr_dim=self.edge_attr_dim,
             tensor_product=self.tensor_product,
             dtype=self.dtype,
-            # the initial projector's irreps_in is the (0e-only) embedding —
-            # not the kernel's (S,V) shape; it always uses the XLA path
+            # the initial projector's irreps_in is the (0e-only) embedding:
+            # the lane-packed kernel (and the SoA fast path) handle V = 0
+            use_pallas=self.use_pallas,
+            pallas_variant=self.pallas_variant,
         )(node_attr, edges)
 
         layer_kwargs = dict(
@@ -164,6 +169,7 @@ class E3Conv(nn.Module):
             tensor_product=self.tensor_product,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pallas_variant=self.pallas_variant,
         )
         if self.scan_layers:
             ScannedLayer = nn.scan(

@@ -42,7 +42,8 @@ class Conv(nn.Module):
     tensor_product: str = "uvw"  # "uvw" (fully connected) | "uvu" (separable)
     dtype: Any = None  # compute dtype for the hot path (params stay float32)
     use_pallas: bool = False  # fused VMEM kernel for the dense radial part
-    pallas_graphs_per_program: int = 1  # kernel tiling: graphs per grid program
+    pallas_variant: str = "packed"  # "packed" (lane-packed [N*N, C]) | "plane" ([N, N, C])
+    pallas_graphs_per_program: int = 1  # plane-kernel tiling: graphs per grid program
     fast_path: bool = True  # SoA component-plane XLA path for l<=1 uvu
 
     def setup(self):
@@ -67,16 +68,33 @@ class Conv(nn.Module):
             out_features=self.tp.weight_numel, hidden_features=hidden, dtype=self.dtype
         )
 
-    def _pallas_supported(self, node_attr: jnp.ndarray, edges: EdgeData) -> bool:
-        from jamun_tpu.ops.pallas.fused_conv import supports_fused_conv
-
+    def _sv_shape(self):
+        """(S, V) if irreps_in is the l<=1 SoA-compatible shape, else None.
+        Accepts `Sx0e` (V = 0, e.g. the embedding projector) and `Sx0e + Vx1e`."""
         irreps_in = Irreps(self.irreps_in)
-        shapes_ok = (
+        if len(irreps_in) == 1 and irreps_in[0].ir.l == 0 and irreps_in[0].ir.p == 1:
+            return irreps_in[0].mul, 0
+        if (
             len(irreps_in) == 2
             and irreps_in[0].ir.l == 0
+            and irreps_in[0].ir.p == 1
             and irreps_in[1].ir.l == 1
-            and (self.radial_hidden is None or list(self.radial_hidden) == [self.edge_attr_dim])
-        )
+            and irreps_in[1].ir.p == 1
+        ):
+            return irreps_in[0].mul, irreps_in[1].mul
+        return None
+
+    def _pallas_supported(self, node_attr: jnp.ndarray, edges: EdgeData) -> bool:
+        sv = self._sv_shape()
+        if sv is None:
+            return False
+        S, V = sv
+        if self.pallas_variant == "packed":
+            from jamun_tpu.ops.pallas.packed_conv import supports_packed_conv as supports
+        else:
+            from jamun_tpu.ops.pallas.fused_conv import supports_fused_conv as supports
+
+        shapes_ok = self.radial_hidden is None or list(self.radial_hidden) == [self.edge_attr_dim]
         # the remote Mosaic compiler handles large tiles well but its layout
         # solver can take pathologically long on tiny sub-tile shapes; restrict
         # the compiled TPU path to well-shaped sizes (interpret mode is exempt).
@@ -84,7 +102,7 @@ class Conv(nn.Module):
         # "tpu" (e.g. "axon").
         if jax.default_backend() in ("tpu", "axon"):
             N = node_attr.shape[1]
-            shapes_ok = shapes_ok and N >= 32 and irreps_in[0].mul >= 32 and irreps_in[1].mul >= 16
+            shapes_ok = shapes_ok and N >= 32 and S >= 32 and (V == 0 or V >= 16)
         return (
             self.use_pallas
             and self.tensor_product == "uvu"
@@ -92,21 +110,17 @@ class Conv(nn.Module):
             and edges.pos is not None
             and edges.bond0_embed is not None
             and shapes_ok
-            and supports_fused_conv(
-                irreps_in[0].mul, irreps_in[1].mul, Irreps(self.irreps_sh).dim,
-                self.edge_attr_dim, self.edge_attr_dim,
+            and supports(
+                S, V, Irreps(self.irreps_sh).dim, self.edge_attr_dim, self.edge_attr_dim
             )
         )
 
     def _fast_uvu_supported(self) -> bool:
-        irreps_in = Irreps(self.irreps_in)
         irreps_sh = Irreps(self.irreps_sh)
         return (
             self.fast_path
             and self.tensor_product == "uvu"
-            and len(irreps_in) == 2
-            and irreps_in[0].ir.l == 0
-            and irreps_in[1].ir.l == 1
+            and self._sv_shape() is not None
             and [mi.ir.l for mi in irreps_sh] == [0, 1]
             and irreps_sh.num_irreps == 2
         )
@@ -119,11 +133,22 @@ class Conv(nn.Module):
         node_attr = node_attr.astype(cdt)
 
         if self._pallas_supported(node_attr, edges):
-            from jamun_tpu.ops.pallas.fused_conv import fused_uvu_conv_dense
-
-            irreps_in = Irreps(self.irreps_in)
+            S, V = self._sv_shape()
             rp = self.radial_nn.variables["params"]
-            out, deg = fused_uvu_conv_dense(
+            kernel_kwargs = dict(
+                S=S,
+                V=V,
+                n_radial=(self.edge_attr_dim + 1) // 2,
+                interpret=jax.default_backend() not in ("tpu", "axon"),  # CPU: interpreter
+                compute_dtype=self.dtype,
+            )
+            if self.pallas_variant == "packed":
+                from jamun_tpu.ops.pallas.packed_conv import packed_uvu_conv_dense as kernel_fn
+            else:
+                from jamun_tpu.ops.pallas.fused_conv import fused_uvu_conv_dense as kernel_fn
+
+                kernel_kwargs["graphs_per_program"] = self.pallas_graphs_per_program
+            out, deg = kernel_fn(
                 edges.pos,
                 edges.node_mask,
                 node_attr,
@@ -133,22 +158,16 @@ class Conv(nn.Module):
                 rp["Dense_1"]["bias"],
                 edges.bond0_embed,
                 edges.radial_cutoff,
-                S=irreps_in[0].mul,
-                V=irreps_in[1].mul,
-                n_radial=(self.edge_attr_dim + 1) // 2,
-                interpret=jax.default_backend() not in ("tpu", "axon"),  # CPU: interpreter
-                compute_dtype=self.dtype,
-                graphs_per_program=self.pallas_graphs_per_program,
+                **kernel_kwargs,
             )
             out = out.astype(out_dtype)
         elif self._fast_uvu_supported():
             from jamun_tpu.ops.fast_uvu import fast_uvu_messages_dense
 
-            irreps_in = Irreps(self.irreps_in)
+            S, V = self._sv_shape()
             w_dense = self.radial_nn(edges.attr_dense.astype(cdt))  # [G, N, N, weight_numel]
             out, deg = fast_uvu_messages_dense(
-                node_attr, edges.sh_dense, w_dense, edges.adj,
-                S=irreps_in[0].mul, V=irreps_in[1].mul,
+                node_attr, edges.sh_dense, w_dense, edges.adj, S=S, V=V,
             )
             out = out.astype(out_dtype)
             deg = deg.astype(jnp.float32)
@@ -201,6 +220,7 @@ class ConvBlock(nn.Module):
     tensor_product: str = "uvw"
     dtype: Any = None
     use_pallas: bool = False
+    pallas_variant: str = "packed"
 
     @nn.compact
     def __call__(self, node_attr: jnp.ndarray, edges: EdgeData) -> jnp.ndarray:
@@ -215,6 +235,7 @@ class ConvBlock(nn.Module):
             tensor_product=self.tensor_product,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pallas_variant=self.pallas_variant,
         )
         # LinearSelfInteraction (`nn/_interaction.py:5`): f(x) passed through a
         # linear "self interaction", plus a linear skip of the input.

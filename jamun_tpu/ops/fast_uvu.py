@@ -33,12 +33,13 @@ def fast_uvu_messages_dense(
     S: int,
     V: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Aggregated dtp messages [G, N, S + 3S + 3V + V + 3V] + degree [G, N]."""
+    """Aggregated dtp messages [G, N, S + 3S + 3V + V + 3V] + degree [G, N].
+
+    V == 0 (scalar-only input, e.g. the embedding projector) yields [G, N, 4S]
+    with blocks [Sx0e, Sx1e]."""
     G, N, _ = x.shape
     dt = weights.dtype
     s = x[..., :S].astype(dt)  # [G, N, S]
-    v = x[..., S:].reshape(G, N, V, 3).astype(dt)
-    vy, vz, vx = v[..., 0], v[..., 1], v[..., 2]
 
     shy = sh_dense[..., 1].astype(dt)  # [G, N, N]
     shz = sh_dense[..., 2].astype(dt)
@@ -46,9 +47,6 @@ def fast_uvu_messages_dense(
 
     w1 = weights[..., 0:S]
     w2 = weights[..., S : 2 * S]
-    w3 = weights[..., 2 * S : 2 * S + V]
-    w4 = weights[..., 2 * S + V : 2 * S + 2 * V]
-    w5 = weights[..., 2 * S + 2 * V : 2 * S + 3 * V]
 
     adj = adj.astype(dt)
     adj3 = adj[..., None]
@@ -63,6 +61,17 @@ def fast_uvu_messages_dense(
     o2z = agg(t2 * shz[..., None])
     o2x = agg(t2 * shx[..., None])
 
+    s1e = jnp.stack([o2y, o2z, o2x], axis=-1).reshape(G, N, 3 * S)
+    deg = jnp.sum(adj, axis=-1)
+    if V == 0:
+        return jnp.concatenate([o1, s1e], axis=-1), deg
+
+    v = x[..., S:].reshape(G, N, V, 3).astype(dt)
+    vy, vz, vx = v[..., 0], v[..., 1], v[..., 2]
+    w3 = weights[..., 2 * S : 2 * S + V]
+    w4 = weights[..., 2 * S + V : 2 * S + 2 * V]
+    w5 = weights[..., 2 * S + 2 * V : 2 * S + 3 * V]
+
     vyj, vzj, vxj = vy[:, None], vz[:, None], vx[:, None]
     shy3, shz3, shx3 = shy[..., None], shz[..., None], shx[..., None]
     o3y = agg(w3 * vyj)
@@ -74,9 +83,7 @@ def fast_uvu_messages_dense(
     o5z = agg(w5 * (vxj * shy3 - vyj * shx3) * _INV_SQRT2)
     o5x = agg(w5 * (vyj * shz3 - vzj * shy3) * _INV_SQRT2)
 
-    s1e = jnp.stack([o2y, o2z, o2x], axis=-1).reshape(G, N, 3 * S)
     v3 = jnp.stack([o3y, o3z, o3x], axis=-1).reshape(G, N, 3 * V)
     v5 = jnp.stack([o5y, o5z, o5x], axis=-1).reshape(G, N, 3 * V)
     packed = jnp.concatenate([o1, s1e, v3, o4, v5], axis=-1)
-    deg = jnp.sum(adj, axis=-1)
     return packed, deg

@@ -1,0 +1,342 @@
+"""Pallas TPU kernel: transposed lane-packed fused dense equivariant conv (l<=1, uvu).
+
+Third-generation layout (see git history for the two earlier ones):
+**channels live in sublanes, pairs live in lanes** — every pair-indexed tensor
+is a 2D ``[C, P]`` array with ``P = N*N``. Measured rationale on v5e (G=128,
+N=48, S=120, V=32, bf16):
+
+  - plane kernel ([N, N, C] message planes): 2.5 ms/call, 146-240 s Mosaic
+    compiles inside loops — layout solver pathology.
+  - sublane-packed ([P, C]): compiles in seconds but still 2.5 ms/call; the
+    ablation showed ~0.9 ms in 11 aggregation matmuls whose outputs have only
+    N = 48 rows (<40% MXU row utilization, latency-bound) and the V = 32 paths
+    use only 25% of the 128 lanes.
+  - this transposed layout: V-path elementwise ops get 100% lane utilization
+    ([V, P] = 32 sublanes x 2304 lanes), the radial/path matmuls produce fat
+    [352, P] outputs, and the ENTIRE aggregation collapses to ONE MXU matmul
+    ``out[C, N] = msg_all[C_all, P] @ Ei[P, N]`` over all 11 paths + degree.
+
+Pair-index plumbing (no reshapes, no relayouts):
+  - one-hot matrices built from 2D iota: ``EjT[n, p] = (p % N == n)`` (the
+    [N, N] identity tiled along lanes), ``EiT[n, p] = (n*N <= p < (n+1)*N)``,
+    and ``Ei = EiT^T`` ([P, N], iota-built directly).
+  - src gather: ``sj[C, P] = nf[C, N] @ EjT`` — one matmul per feature block.
+  - geometry rows ``[1, P]``: ``pos_row[1, N] @ EjT/EiT`` (exact: one-hot
+    selection at HIGHEST precision passes f32 values through unrounded).
+  - broadcasts of geometry rows over channels are sublane-only broadcasts
+    (native); per-channel biases/centers are lane-only broadcasts (native).
+
+Feature/weight rows are slot-padded to sublane-tile multiples (16) so every
+in-kernel row slice and concat is tile-aligned.
+
+Math is identical to `ops/fast_uvu.py`: depthwise ("uvu") tensor product for
+irreps_in = S x0e + V x1e (V may be 0 — the scalar-only initial projector),
+irreps_sh = 1x0e + 1x1e with component normalization, gaussian radial basis,
+radial MLP 64 -> 64 -> (2S + 3V) with the bondedness-0 embedding folded into
+the first-layer bias. Output block order matches
+`jamun_tpu.ops.tensor_product.depthwise_tp`: [Sx0e, Sx1e, Vx1e, Vx0e, Vx1e].
+
+Reference role: the e3nn CUDA-codegen tensor-product kernels used by
+`/root/reference/src/jamun/e3tools/nn/_conv.py:93-117`.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jamun_tpu.ops.precision import matmul_precision
+
+__all__ = ["packed_uvu_conv_dense", "supports_packed_conv"]
+
+_SQRT3 = math.sqrt(3.0)
+_INV_SQRT3 = 1.0 / math.sqrt(3.0)
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+
+_TILE = 16  # sublane tile (bf16); f32's 8 divides it
+
+
+def _pad16(c: int) -> int:
+    return ((c + _TILE - 1) // _TILE) * _TILE
+
+
+def supports_packed_conv(S: int, V: int, sh_dim: int, attr_dim: int, radial_hidden: int) -> bool:
+    return sh_dim == 4 and attr_dim == 64 and radial_hidden == 64 and S > 0 and V >= 0
+
+
+def _kernel(
+    nf_ref,     # [K, Fp, N]  cdt: rows [s (Sp) | vy (Vp) | vz | vx]
+    posm_ref,   # [K, 8, N]   f32: rows x, y, z, mask, 0...
+    w1_ref,     # [64, 32]    cdt: radial layer-1 transposed (w1^T)
+    b1_ref,     # [64, 1]     f32
+    w2_ref,     # [Wp, 64]    cdt: layer-2 transposed, rows slotted per path
+    b2_ref,     # [Wp, 1]     f32
+    scal_ref,   # [1, 4]      f32: cutoff, ...
+    out_ref,    # [K, Cp, N]  f32: rows [o1 Sp | o2y,o2z,o2x Sp | o3y,o3z,o3x,
+                #                        o4, o5y, o5z, o5x Vp | deg 16]
+    *,
+    N: int,
+    S: int,
+    V: int,
+    n_radial: int,
+    K: int,
+):
+    f32 = jnp.float32
+    cdt = nf_ref.dtype
+    P = N * N
+    Sp, Vp = _pad16(S), _pad16(V)
+    cutoff = scal_ref[0, 0]
+    prec = matmul_precision(cdt)
+    hi = jax.lax.Precision.HIGHEST  # exact pass-through for one-hot selection
+
+    # --- one-hot pair-index matrices (iota-built; no integer div/mod) ---
+    # EjT[n, p] = (p % N == n): the [N, N] identity tiled N times along lanes.
+    id1 = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    )
+    ejt_f = (id1 if N == P else jnp.concatenate([id1] * N, axis=1)).astype(f32)  # [N, P]
+    # EiT[n, p] = (p // N == n)
+    offt = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1) - jax.lax.broadcasted_iota(
+        jnp.int32, (N, P), 0
+    ) * N
+    eit_f = ((offt >= 0) & (offt < N)).astype(f32)  # [N, P]
+    # Ei[p, n] = (p // N == n) for the aggregation rhs.
+    offp = jax.lax.broadcasted_iota(jnp.int32, (P, N), 0) - jax.lax.broadcasted_iota(
+        jnp.int32, (P, N), 1
+    ) * N
+    ei = ((offp >= 0) & (offp < N)).astype(cdt)  # [P, N]
+    ejt = ejt_f.astype(cdt)
+    eye_row = jnp.sum(ejt_f * eit_f, axis=0, keepdims=True)  # [1, P]: 1 where i == j
+
+    for k in range(K):
+        # --- geometry rows [1, P] via exact one-hot gathers ---
+        def grow(r, m):  # node row r of posm -> pair row (src if m is EjT else dst)
+            return jnp.dot(posm_ref[k][r : r + 1], m, preferred_element_type=f32, precision=hi)
+
+        dx = grow(0, ejt_f) - grow(0, eit_f)  # rel = pos[j] - pos[i]
+        dy = grow(1, ejt_f) - grow(1, eit_f)
+        dz = grow(2, ejt_f) - grow(2, eit_f)
+        mj = grow(3, ejt_f)
+        mi = grow(3, eit_f)
+        d2 = dx * dx + dy * dy + dz * dz
+        dist = jnp.sqrt(d2 + 1e-12)  # [1, P]
+        adj = ((dist < cutoff) & (eye_row < 0.5) & (mi > 0) & (mj > 0)).astype(cdt)
+        inv_d = 1.0 / jnp.maximum(dist, 1e-12)
+        # sh1 in (y, z, x) order, component normalization sqrt(3) * n;
+        # broadcast once to the widest channel block, slice rows per use
+        CB = max(Sp, Vp)
+        shy = jnp.broadcast_to((_SQRT3 * dy * inv_d).astype(cdt), (CB, P))
+        shz = jnp.broadcast_to((_SQRT3 * dz * inv_d).astype(cdt), (CB, P))
+        shx = jnp.broadcast_to((_SQRT3 * dx * inv_d).astype(cdt), (CB, P))
+
+        # --- gaussian radial basis [n, P] + radial MLP (rows = channels) ---
+        step = cutoff / (n_radial + 1)
+        centers = (
+            jax.lax.broadcasted_iota(jnp.int32, (n_radial, 1), 0).astype(f32) + 1.0
+        ) * step  # [n, 1]
+        diff = (jnp.broadcast_to(dist, (n_radial, P)) - centers) / step
+        radial = (jnp.exp(-(diff * diff)) * (1.0 / 1.12)).astype(cdt)
+
+        h32 = (
+            jnp.dot(w1_ref[...], radial, preferred_element_type=f32, precision=prec)
+            + b1_ref[...]
+        )  # [64, P]
+        h = (h32 * jax.nn.sigmoid(h32)).astype(cdt)  # SiLU
+
+        # --- ALL path weights in one matmul: [Wp, P] ---
+        w_all = (
+            jnp.dot(w2_ref[...], h, preferred_element_type=f32, precision=prec)
+            + b2_ref[...]
+        ).astype(cdt)
+
+        # --- src-feature gathers (adjacency applied once per stream) ---
+        adjS = jnp.broadcast_to(adj, (Sp, P))
+        sj = (
+            jnp.dot(nf_ref[k][0:Sp], ejt, preferred_element_type=f32, precision=prec)
+        ).astype(cdt) * adjS  # [Sp, P]
+
+        # --- messages (rows = channels, full lane utilization) ---
+        w1p = w_all[0:Sp]
+        w2p = w_all[Sp : 2 * Sp]
+        m1 = w1p * sj  # o1: 0e x 0e -> 0e (sh0 = 1)
+        t2 = w2p * sj  # o2: 0e x 1e -> 1e
+        blocks = [m1, t2 * shy[0:Sp], t2 * shz[0:Sp], t2 * shx[0:Sp]]
+        # (shy/shz/shx are [CB >= Sp, P]; row-0-aligned slices are tile-aligned)
+
+        if V > 0:
+            vj = (
+                jnp.dot(nf_ref[k][Sp : Sp + 3 * Vp], ejt, preferred_element_type=f32, precision=prec)
+            ).astype(cdt) * jnp.broadcast_to(adj, (3 * Vp, P))  # [3Vp, P]
+            vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
+            w3p = w_all[2 * Sp : 2 * Sp + Vp]
+            w4p = w_all[2 * Sp + Vp : 2 * Sp + 2 * Vp]
+            w5p = w_all[2 * Sp + 2 * Vp : 2 * Sp + 3 * Vp]
+            sy, sz, sx = shy[0:Vp], shz[0:Vp], shx[0:Vp]
+            dotv = vy * sy + vz * sz + vx * sx
+            blocks += [
+                w3p * vy,  # o3: 1e x 0e -> 1e
+                w3p * vz,
+                w3p * vx,
+                w4p * dotv * _INV_SQRT3,  # o4: 1e x 1e -> 0e
+                # o5: 1e x 1e -> 1e (cross / sqrt2, cyclic (y, z, x) basis)
+                w5p * (vz * sx - vx * sz) * _INV_SQRT2,
+                w5p * (vx * sy - vy * sx) * _INV_SQRT2,
+                w5p * (vy * sz - vz * sy) * _INV_SQRT2,
+            ]
+
+        # degree row block (adj summed over j), padded to one sublane tile
+        blocks.append(jnp.concatenate([adj, jnp.zeros((_TILE - 1, P), cdt)], axis=0))
+        msg_all = jnp.concatenate(blocks, axis=0)  # [Cp, P]
+
+        # --- ONE aggregation matmul over every path + degree ---
+        out_ref[k] = jnp.dot(msg_all, ei, preferred_element_type=f32, precision=prec)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "V", "n_radial", "interpret", "compute_dtype", "graphs_per_program"),
+)
+def packed_uvu_conv_dense(
+    pos: jnp.ndarray,        # [G, N, 3] f32
+    node_mask: jnp.ndarray,  # [G, N] bool
+    x: jnp.ndarray,          # [G, N, S + 3V] packed irreps (f32/bf16)
+    w1: jnp.ndarray,         # [64, 64] radial layer 1 (bond rows first)
+    b1: jnp.ndarray,         # [64]
+    w2: jnp.ndarray,         # [64, 2S + 3V] radial layer 2
+    b2: jnp.ndarray,         # [2S + 3V]
+    bond0: jnp.ndarray,      # [32] bondedness-0 embedding
+    cutoff: jnp.ndarray,     # scalar
+    S: int,
+    V: int,
+    n_radial: int = 32,
+    interpret: bool = False,
+    compute_dtype=None,
+    graphs_per_program: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (aggregated dtp messages [G, N, 4S + 7V], degree [G, N]).
+
+    Same contract as `fused_conv.fused_uvu_conv_dense`, plus V == 0 support
+    (scalar-only irreps_in: output is [G, N, 4S], blocks [Sx0e, Sx1e])."""
+    G, N, _ = pos.shape
+    f32 = jnp.float32
+    cdt = compute_dtype or jnp.float32
+    Sp, Vp = _pad16(S), _pad16(V)
+
+    K = max(1, min(graphs_per_program, G))
+    Gp = ((G + K - 1) // K) * K
+    if Gp != G:
+        padg = Gp - G
+        pos = jnp.concatenate([pos, jnp.zeros((padg, N, 3), pos.dtype)], axis=0)
+        node_mask = jnp.concatenate(
+            [node_mask, jnp.zeros((padg, N), node_mask.dtype)], axis=0
+        )
+        x = jnp.concatenate([x, jnp.zeros((padg,) + x.shape[1:], x.dtype)], axis=0)
+
+    # --- transposed, slot-padded node features: [G, Sp + 3Vp, N] ---
+    sT = jnp.swapaxes(x[..., :S], -1, -2).astype(cdt)  # [G, S, N]
+    parts = [sT]
+    if Sp != S:
+        parts.append(jnp.zeros((Gp, Sp - S, N), cdt))
+    if V > 0:
+        v = x[..., S:].reshape(Gp, N, V, 3).astype(cdt)
+        for c in range(3):  # y, z, x component planes as row blocks
+            parts.append(jnp.swapaxes(v[..., c], -1, -2))
+            if Vp != V:
+                parts.append(jnp.zeros((Gp, Vp - V, N), cdt))
+    nfT = jnp.concatenate(parts, axis=1)  # [G, Fp, N]
+
+    posmT = jnp.concatenate(
+        [
+            jnp.swapaxes(pos, -1, -2).astype(f32),  # rows x, y, z
+            node_mask.astype(f32)[:, None, :],      # row mask
+            jnp.zeros((Gp, 4, N), f32),
+        ],
+        axis=1,
+    )  # [G, 8, N]
+
+    scalars = jnp.broadcast_to(jnp.asarray([cutoff, 0.0, 0.0, 0.0], f32)[None], (1, 4))
+
+    # host-side weight prep: bond block of layer 1 folded into the bias (full
+    # precision — it multiplies every edge); layer 2 transposed + row-slotted.
+    nb = w1.shape[0] - n_radial
+    b1_eff = b1 + jnp.einsum(
+        "i,ij->j", bond0.astype(f32), w1[:nb].astype(f32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    w1T = w1[nb:].T.astype(cdt)  # [64, n_radial]
+
+    path_dims = (S, S, V, V, V) if V > 0 else (S, S)
+    pad_dims = (Sp, Sp, Vp, Vp, Vp) if V > 0 else (Sp, Sp)
+    w2_rows, b2_rows = [], []
+    off = 0
+    for C, Cp in zip(path_dims, pad_dims):
+        w2_rows.append(w2[:, off : off + C].T.astype(cdt))  # [C, 64]
+        b2_rows.append(b2[off : off + C].astype(f32)[:, None])  # [C, 1]
+        if Cp != C:
+            w2_rows.append(jnp.zeros((Cp - C, 64), cdt))
+            b2_rows.append(jnp.zeros((Cp - C, 1), f32))
+        off += C
+    w2T = jnp.concatenate(w2_rows, axis=0)  # [Wp, 64]
+    b2T = jnp.concatenate(b2_rows, axis=0)  # [Wp, 1]
+
+    Cp_out = (4 * Sp + 7 * Vp + _TILE) if V > 0 else (4 * Sp + _TILE)
+    kernel = functools.partial(_kernel, N=N, S=S, V=V, n_radial=n_radial, K=K)
+
+    def gspec(shape):
+        return pl.BlockSpec((K,) + shape, lambda g: (g,) + (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    def shared(shape):
+        return pl.BlockSpec(shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    outT = pl.pallas_call(
+        kernel,
+        grid=(Gp // K,),
+        in_specs=[
+            gspec(nfT.shape[1:]),
+            gspec((8, N)),
+            shared(w1T.shape),
+            shared((64, 1)),
+            shared(w2T.shape),
+            shared(b2T.shape),
+            shared((1, 4)),
+        ],
+        out_specs=gspec((Cp_out, N)),
+        out_shape=jax.ShapeDtypeStruct((Gp, Cp_out, N), f32),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(nfT, posmT, w1T, b1_eff.astype(f32)[:, None], w2T, b2T, scalars)
+
+    if Gp != G:
+        outT = outT[:G]
+
+    def block(i0, C):  # transposed row block -> [G, N, C]
+        return jnp.swapaxes(outT[:, i0 : i0 + C, :], -1, -2)
+
+    o1 = block(0, S)
+    o2 = [block(Sp * (1 + c), S) for c in range(3)]
+    s1e = jnp.stack(o2, axis=-1).reshape(G, N, 3 * S)
+    parts = [o1, s1e]
+    if V > 0:
+        base = 4 * Sp
+        o3 = [block(base + Vp * c, V) for c in range(3)]
+        o4 = block(base + 3 * Vp, V)
+        o5 = [block(base + Vp * (4 + c), V) for c in range(3)]
+        parts += [
+            jnp.stack(o3, axis=-1).reshape(G, N, 3 * V),
+            o4,
+            jnp.stack(o5, axis=-1).reshape(G, N, 3 * V),
+        ]
+        deg = outT[:, 4 * Sp + 7 * Vp, :]
+    else:
+        deg = outT[:, 4 * Sp, :]
+    packed = jnp.concatenate(parts, axis=-1)
+    return packed, deg

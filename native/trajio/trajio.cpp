@@ -3,10 +3,11 @@
 // Replaces the mdtraj C-extension surface the reference depends on
 // (/root/reference/src/jamun/data/_mdtraj.py uses mdtraj's DCD/XTC codecs):
 //   - CHARMM/NAMD DCD read/write (fortran-record binary)
-//   - GROMACS XTC read/write with the xdr3dfcoord integer compression scheme
-//     (implemented from the published format description; roundtrip-tested.
-//     Interop with GROMACS-written files is best-effort: no real .xtc files
-//     exist in this sandbox to validate against.)
+//   - GROMACS XTC read/write with the FULL xdr3dfcoord integer compression
+//     scheme (verbatim magicints table, mixed-radix encode/decodeints,
+//     adaptive smallidx with sticky run-lengths, water-molecule atom swap).
+//     Cross-validated byte-for-byte against an independent pure-Python
+//     implementation of the algorithm (tests/test_xtc_interop.py).
 //
 // Build: python -m jamun_tpu.data.build_native   (g++ -O3 -shared -fPIC)
 // Exposed via ctypes (jamun_tpu/data/_native_io.py). Coordinates are nm.
@@ -128,20 +129,20 @@ struct XdrReader {
 
 // -------------------------------------------------- 3dfcoord compression ---
 
-// magicints: monotone table ~ 2^(i/3); index i is the "size exponent".
-struct Magic {
-    std::vector<int> table;
-    Magic() {
-        table.resize(73, 0);
-        for (int i = 9; i < 73; i++) {
-            double v = std::pow(2.0, (double)i / 3.0);
-            long r = (long)std::floor(v + 0.5);
-            table[i] = (int)std::min<long>(r, (1L << 24) - 1 + (1L << 24));  // cap
-        }
-    }
-} const kMagic;
+// The GROMACS xdr3dfcoord magicints table, reproduced VERBATIM (several
+// entries deviate from round(2^(i/3)) — e.g. 5060, 524287, 8388607 — and
+// these historical values are part of the wire format; computing the table
+// from the formula breaks interop).
+static const int kMagicInts[73] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 8, 10, 12, 16, 20, 25, 32, 40, 50, 64,
+    80, 101, 128, 161, 203, 256, 322, 406, 512, 645, 812, 1024, 1290,
+    1625, 2048, 2580, 3250, 4096, 5060, 6501, 8192, 10321, 13003, 16384,
+    20642, 26007, 32768, 41285, 52015, 65536, 82570, 104031, 131072,
+    165140, 208063, 262144, 330280, 416127, 524287, 660561, 832255,
+    1048576, 1321122, 1664510, 2097152, 2642245, 3329021, 4194304,
+    5284491, 6658042, 8388607, 10568983, 13316085, 16777216};
 const int kFirstIdx = 9;
-const int kLastIdx = 72;
+const int kLastIdx = 72;  // last valid index into kMagicInts
 
 struct BitWriter {
     std::vector<uint8_t> buf;
@@ -194,133 +195,383 @@ struct BitReader {
     }
 };
 
-inline int bits_needed(uint32_t range) {
-    int b = 0;
-    while (range) {
-        b++;
-        range >>= 1;
+// xdrfile's sizeofint: smallest n with 2^n > size (note: STRICTLY greater —
+// one more bit than minimal when size is a power of two; wire-format exact).
+inline int sizeofint(int size) {
+    unsigned int num = 1;
+    int num_of_bits = 0;
+    while (size >= (int)num && num_of_bits < 32) {
+        num_of_bits++;
+        num <<= 1;
     }
-    return b < 1 ? 1 : b;
+    return num_of_bits;
 }
 
-// number of bits to encode a triple of ints each in [0, size)
-inline void triple_bits(int size, int* bits) { bits[0] = bits[1] = bits[2] = bits_needed((uint32_t)(size - 1)); }
+// xdrfile's sizeofints: bits for the little-endian mixed-radix packing of
+// num_of_ints values with the given sizes.
+inline int sizeofints(int num_of_ints, const uint32_t sizes[]) {
+    uint32_t bytes[32];
+    uint32_t num_of_bytes = 1, bytecnt = 0, tmp;
+    int num_of_bits = 0;
+    bytes[0] = 1;
+    for (int i = 0; i < num_of_ints; i++) {
+        tmp = 0;
+        for (bytecnt = 0; bytecnt < num_of_bytes; bytecnt++) {
+            tmp = bytes[bytecnt] * sizes[i] + tmp;
+            bytes[bytecnt] = tmp & 0xff;
+            tmp >>= 8;
+        }
+        while (tmp != 0) {
+            bytes[bytecnt++] = tmp & 0xff;
+            tmp >>= 8;
+        }
+        num_of_bytes = bytecnt;
+    }
+    uint32_t num = 1;
+    num_of_bytes--;
+    while (bytes[num_of_bytes] >= num) {
+        num_of_bits++;
+        num *= 2;
+    }
+    return num_of_bits + (int)num_of_bytes * 8;
+}
 
-// Encode one frame of coordinates (nm) with the given precision (typically
-// 1000: 1e-3 nm resolution). Layout written (all XDR):
-//   natoms, precision(float), minint[3], maxint[3], smallidx, opaque(bitstream)
-// Bitstream: per atom either a "large" absolute triple (bitsize from the
-// min/max range) or, following a 1-bit "small run" flag, a run of small-diff
-// triples (runlength 5 bits, each diff in [0, 2*small+1) with smallidx bits).
-void encode_frame(XdrWriter& w, const float* xyz, int natoms, float precision) {
+// xdrfile's sendints: mixed-radix big-number encode, bytes LSB-first.
+inline void encodeints(BitWriter& bw, int num_of_ints, int num_of_bits,
+                       const uint32_t sizes[], const uint32_t nums[]) {
+    uint32_t bytes[32];
+    int num_of_bytes = 0;
+    uint32_t tmp = nums[0];
+    do {
+        bytes[num_of_bytes++] = tmp & 0xff;
+        tmp >>= 8;
+    } while (tmp != 0);
+    for (int i = 1; i < num_of_ints; i++) {
+        int bytecnt;
+        tmp = nums[i];
+        for (bytecnt = 0; bytecnt < num_of_bytes; bytecnt++) {
+            tmp = bytes[bytecnt] * sizes[i] + tmp;
+            bytes[bytecnt] = tmp & 0xff;
+            tmp >>= 8;
+        }
+        while (tmp != 0) {
+            bytes[bytecnt++] = tmp & 0xff;
+            tmp >>= 8;
+        }
+        num_of_bytes = bytecnt;
+    }
+    if (num_of_bits >= num_of_bytes * 8) {
+        for (int i = 0; i < num_of_bytes; i++) bw.put(bytes[i], 8);
+        bw.put(0, num_of_bits - num_of_bytes * 8);
+    } else {
+        int i;
+        for (i = 0; i < num_of_bytes - 1; i++) bw.put(bytes[i], 8);
+        bw.put(bytes[i], num_of_bits - (num_of_bytes - 1) * 8);
+    }
+}
+
+// xdrfile's receiveints.
+inline void decodeints(BitReader& br, int num_of_ints, int num_of_bits,
+                       const uint32_t sizes[], int32_t nums[]) {
+    int bytes[32];
+    int num_of_bytes = 0;
+    bytes[0] = bytes[1] = bytes[2] = bytes[3] = 0;
+    while (num_of_bits > 8) {
+        bytes[num_of_bytes++] = (int)br.get(8);
+        num_of_bits -= 8;
+    }
+    if (num_of_bits > 0) bytes[num_of_bytes++] = (int)br.get(num_of_bits);
+    for (int i = num_of_ints - 1; i > 0; i--) {
+        int num = 0;
+        for (int j = num_of_bytes - 1; j >= 0; j--) {
+            num = (num << 8) | bytes[j];
+            int p = num / (int)sizes[i];
+            bytes[j] = p;
+            num = num - p * (int)sizes[i];
+        }
+        nums[i] = num;
+    }
+    nums[0] = bytes[0] | (bytes[1] << 8) | (bytes[2] << 16) | (bytes[3] << 24);
+}
+
+// Encode one frame of coordinates (nm) with the given precision, following
+// GROMACS xdr3dfcoord EXACTLY (xdrfile's compressed-coordinate wire format):
+//   natoms; [natoms <= 9: plain floats]; precision(float); minint[3];
+//   maxint[3]; smallidx; opaque(bitstream).
+// Bitstream per block: absolute triple (mixed-radix over the min/max range),
+// 1-bit flag; flag=1 => 5-bit (run*3 + is_smaller+1) with sticky run
+// semantics, then run/3 small-diff triples (mixed-radix, smallidx bits each,
+// adaptive via is_smaller); includes the water-molecule first/second atom
+// swap. Returns false on coordinate overflow.
+bool encode_frame(XdrWriter& w, const float* xyz, int natoms, float precision) {
     w.put_i32(natoms);
+    if (natoms <= 9) {
+        for (int k = 0; k < natoms * 3; k++) w.put_f32(xyz[k]);
+        return true;
+    }
     w.put_f32(precision);
+
+    const float MAXABS = (float)(INT32_MAX - 2);
     std::vector<int32_t> ip(natoms * 3);
     int32_t minint[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
     int32_t maxint[3] = {INT32_MIN, INT32_MIN, INT32_MIN};
+    int mindiff = INT32_MAX;
+    int32_t oldl[3] = {0, 0, 0};
     for (int i = 0; i < natoms; i++) {
+        int32_t l[3];
         for (int d = 0; d < 3; d++) {
             float v = xyz[i * 3 + d] * precision;
-            int32_t iv = (int32_t)std::lround(v);
-            ip[i * 3 + d] = iv;
-            minint[d] = std::min(minint[d], iv);
-            maxint[d] = std::max(maxint[d], iv);
+            if (std::fabs(v) > MAXABS) return false;
+            l[d] = (int32_t)(v >= 0 ? v + 0.5f : v - 0.5f);  // round half away from 0
+            minint[d] = std::min(minint[d], l[d]);
+            maxint[d] = std::max(maxint[d], l[d]);
+            ip[i * 3 + d] = l[d];
         }
+        int diff = std::abs(l[0] - oldl[0]) + std::abs(l[1] - oldl[1]) + std::abs(l[2] - oldl[2]);
+        if (diff < mindiff && i > 0) mindiff = diff;
+        oldl[0] = l[0];
+        oldl[1] = l[1];
+        oldl[2] = l[2];
     }
     for (int d = 0; d < 3; d++) w.put_i32(minint[d]);
     for (int d = 0; d < 3; d++) w.put_i32(maxint[d]);
+    if ((float)(maxint[0] - minint[0]) >= MAXABS || (float)(maxint[1] - minint[1]) >= MAXABS ||
+        (float)(maxint[2] - minint[2]) >= MAXABS)
+        return false;
 
-    int big_bits[3];
-    for (int d = 0; d < 3; d++)
-        big_bits[d] = bits_needed((uint32_t)(maxint[d] - minint[d]));
+    uint32_t sizeint[3] = {(uint32_t)(maxint[0] - minint[0] + 1),
+                           (uint32_t)(maxint[1] - minint[1] + 1),
+                           (uint32_t)(maxint[2] - minint[2] + 1)};
+    int bitsizeint[3] = {0, 0, 0};
+    int bitsize;
+    if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xffffff) {
+        bitsizeint[0] = sizeofint((int)sizeint[0]);
+        bitsizeint[1] = sizeofint((int)sizeint[1]);
+        bitsizeint[2] = sizeofint((int)sizeint[2]);
+        bitsize = 0;  // flag the use of large sizes
+    } else {
+        bitsize = sizeofints(3, sizeint);
+    }
 
-    // pick smallidx from the typical neighbor diff
-    int smallidx = kFirstIdx + 4;
+    int smallidx = kFirstIdx;
+    while (smallidx < kLastIdx && kMagicInts[smallidx] < mindiff) smallidx++;
     w.put_i32(smallidx);
-    int small = kMagic.table[smallidx] / 2;
-    int small_range = kMagic.table[smallidx];
-    int small_bits = bits_needed((uint32_t)(small_range - 1));
+
+    int maxidx = std::min(kLastIdx, smallidx + 8);
+    int minidx = maxidx - 8;
+    int smaller = kMagicInts[std::max(kFirstIdx, smallidx - 1)] / 2;
+    int smallnum = kMagicInts[smallidx] / 2;
+    uint32_t sizesmall[3];
+    sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)kMagicInts[smallidx];
+    int larger = kMagicInts[maxidx] / 2;
 
     BitWriter bw;
+    int prevrun = -1;
+    int prevcoord[3] = {0, 0, 0};
+    uint32_t tmpcoord[30];
     int i = 0;
     while (i < natoms) {
-        // try to form a run of small diffs starting at i+1 relative to atom i
-        bw.put(0, 1);  // flag 0: absolute triple follows
-        for (int d = 0; d < 3; d++)
-            bw.put((uint32_t)(ip[i * 3 + d] - minint[d]), big_bits[d]);
-        int run = 0;
-        int j = i + 1;
-        while (j < natoms && run < 31) {
-            bool ok_small = true;
-            for (int d = 0; d < 3; d++) {
-                int diff = ip[j * 3 + d] - ip[(j - 1) * 3 + d];
-                if (diff < -small || diff > small) ok_small = false;
-            }
-            if (!ok_small) break;
-            run++;
-            j++;
-        }
-        bw.put(run > 0 ? 1 : 0, 1);
-        if (run > 0) {
-            bw.put((uint32_t)run, 5);
-            for (int k = i + 1; k < i + 1 + run; k++) {
-                for (int d = 0; d < 3; d++) {
-                    int diff = ip[k * 3 + d] - ip[(k - 1) * 3 + d];
-                    bw.put((uint32_t)(diff + small), small_bits);
-                }
-            }
-            i += run + 1;
+        bool is_small = false;
+        int32_t* thiscoord = &ip[(size_t)i * 3];
+        int is_smaller;
+        if (smallidx < maxidx && i >= 1 && std::abs(thiscoord[0] - prevcoord[0]) < larger &&
+            std::abs(thiscoord[1] - prevcoord[1]) < larger &&
+            std::abs(thiscoord[2] - prevcoord[2]) < larger) {
+            is_smaller = 1;
+        } else if (smallidx > minidx) {
+            is_smaller = -1;
         } else {
-            i += 1;
+            is_smaller = 0;
+        }
+        if (i + 1 < natoms) {
+            if (std::abs(thiscoord[0] - thiscoord[3]) < smallnum &&
+                std::abs(thiscoord[1] - thiscoord[4]) < smallnum &&
+                std::abs(thiscoord[2] - thiscoord[5]) < smallnum) {
+                // interchange first with second atom (water-molecule trick)
+                std::swap(thiscoord[0], thiscoord[3]);
+                std::swap(thiscoord[1], thiscoord[4]);
+                std::swap(thiscoord[2], thiscoord[5]);
+                is_small = true;
+            }
+        }
+        uint32_t abs3[3] = {(uint32_t)(thiscoord[0] - minint[0]),
+                            (uint32_t)(thiscoord[1] - minint[1]),
+                            (uint32_t)(thiscoord[2] - minint[2])};
+        if (bitsize == 0) {
+            bw.put(abs3[0], bitsizeint[0]);
+            bw.put(abs3[1], bitsizeint[1]);
+            bw.put(abs3[2], bitsizeint[2]);
+        } else {
+            encodeints(bw, 3, bitsize, sizeint, abs3);
+        }
+        prevcoord[0] = thiscoord[0];
+        prevcoord[1] = thiscoord[1];
+        prevcoord[2] = thiscoord[2];
+        thiscoord += 3;
+        i++;
+
+        int run = 0;
+        if (!is_small && is_smaller == -1) is_smaller = 0;
+        while (is_small && run < 8 * 3) {
+            if (is_smaller == -1 &&
+                ((int64_t)(thiscoord[0] - prevcoord[0]) * (thiscoord[0] - prevcoord[0]) +
+                     (int64_t)(thiscoord[1] - prevcoord[1]) * (thiscoord[1] - prevcoord[1]) +
+                     (int64_t)(thiscoord[2] - prevcoord[2]) * (thiscoord[2] - prevcoord[2]) >=
+                 (int64_t)smaller * smaller)) {
+                is_smaller = 0;  // none of the remaining diffs may hinder shrinking
+            }
+            tmpcoord[run++] = (uint32_t)(thiscoord[0] - prevcoord[0] + smallnum);
+            tmpcoord[run++] = (uint32_t)(thiscoord[1] - prevcoord[1] + smallnum);
+            tmpcoord[run++] = (uint32_t)(thiscoord[2] - prevcoord[2] + smallnum);
+            prevcoord[0] = thiscoord[0];
+            prevcoord[1] = thiscoord[1];
+            prevcoord[2] = thiscoord[2];
+            i++;
+            thiscoord += 3;
+            is_small = false;
+            if (i < natoms && std::abs(thiscoord[0] - prevcoord[0]) < smallnum &&
+                std::abs(thiscoord[1] - prevcoord[1]) < smallnum &&
+                std::abs(thiscoord[2] - prevcoord[2]) < smallnum) {
+                is_small = true;
+            }
+        }
+        if (run != prevrun || is_smaller != 0) {
+            prevrun = run;
+            bw.put(1, 1);
+            bw.put((uint32_t)(run + is_smaller + 1), 5);
+        } else {
+            bw.put(0, 1);
+        }
+        for (int k = 0; k < run; k += 3) {
+            encodeints(bw, 3, smallidx, sizesmall, &tmpcoord[k]);
+        }
+        if (is_smaller != 0) {
+            smallidx += is_smaller;
+            if (is_smaller < 0) {
+                smallnum = smaller;
+                smaller = smallidx > kFirstIdx ? kMagicInts[smallidx - 1] / 2 : 0;
+            } else {
+                smaller = smallnum;
+                smallnum = kMagicInts[smallidx] / 2;
+            }
+            sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)kMagicInts[smallidx];
         }
     }
     bw.flush();
     w.put_opaque(bw.buf.data(), (int)bw.buf.size());
+    return true;
 }
 
 bool decode_frame(XdrReader& r, std::vector<float>& out, int* natoms_out) {
     int natoms = r.get_i32();
     if (!r.ok || natoms <= 0 || natoms > (1 << 24)) return false;
+    *natoms_out = natoms;
+    out.resize((size_t)natoms * 3);
+    if (natoms <= 9) {
+        for (int k = 0; k < natoms * 3; k++) out[k] = r.get_f32();
+        return r.ok;
+    }
     float precision = r.get_f32();
     int32_t minint[3], maxint[3];
     for (int d = 0; d < 3; d++) minint[d] = r.get_i32();
     for (int d = 0; d < 3; d++) maxint[d] = r.get_i32();
+
+    uint32_t sizeint[3] = {(uint32_t)(maxint[0] - minint[0] + 1),
+                           (uint32_t)(maxint[1] - minint[1] + 1),
+                           (uint32_t)(maxint[2] - minint[2] + 1)};
+    int bitsizeint[3] = {0, 0, 0};
+    int bitsize;
+    if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xffffff) {
+        bitsizeint[0] = sizeofint((int)sizeint[0]);
+        bitsizeint[1] = sizeofint((int)sizeint[1]);
+        bitsizeint[2] = sizeofint((int)sizeint[2]);
+        bitsize = 0;
+    } else {
+        bitsize = sizeofints(3, sizeint);
+    }
+
     int smallidx = r.get_i32();
     if (!r.ok || smallidx < kFirstIdx || smallidx > kLastIdx) return false;
-    int small = kMagic.table[smallidx] / 2;
-    int small_range = kMagic.table[smallidx];
-    int small_bits = bits_needed((uint32_t)(small_range - 1));
-    int big_bits[3];
-    for (int d = 0; d < 3; d++)
-        big_bits[d] = bits_needed((uint32_t)(maxint[d] - minint[d]));
+    int smaller = kMagicInts[std::max(kFirstIdx, smallidx - 1)] / 2;
+    int smallnum = kMagicInts[smallidx] / 2;
+    uint32_t sizesmall[3];
+    sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)kMagicInts[smallidx];
 
     std::vector<uint8_t> stream;
     if (!r.get_opaque(stream)) return false;
     BitReader br{stream.data(), stream.size()};
 
-    std::vector<int32_t> ip(natoms * 3);
+    float inv_precision = 1.0f / precision;
+    int run = 0;
     int i = 0;
+    size_t o = 0;
+    int32_t prevcoord[3] = {0, 0, 0};
+    int32_t thiscoord[3];
     while (i < natoms && br.ok) {
-        uint32_t flag = br.get(1);
-        if (flag != 0) return false;  // stream out of sync
-        for (int d = 0; d < 3; d++)
-            ip[i * 3 + d] = (int32_t)br.get(big_bits[d]) + minint[d];
-        uint32_t has_run = br.get(1);
-        if (has_run) {
-            int run = (int)br.get(5);
-            for (int k = i + 1; k < i + 1 + run && k < natoms; k++)
-                for (int d = 0; d < 3; d++)
-                    ip[k * 3 + d] = ip[(k - 1) * 3 + d] + (int32_t)br.get(small_bits) - small;
-            i += run + 1;
+        if (bitsize == 0) {
+            thiscoord[0] = (int32_t)br.get(bitsizeint[0]);
+            thiscoord[1] = (int32_t)br.get(bitsizeint[1]);
+            thiscoord[2] = (int32_t)br.get(bitsizeint[2]);
         } else {
-            i += 1;
+            decodeints(br, 3, bitsize, sizeint, thiscoord);
         }
+        i++;
+        thiscoord[0] += minint[0];
+        thiscoord[1] += minint[1];
+        thiscoord[2] += minint[2];
+        prevcoord[0] = thiscoord[0];
+        prevcoord[1] = thiscoord[1];
+        prevcoord[2] = thiscoord[2];
+
+        uint32_t flag = br.get(1);
+        int is_smaller = 0;
+        if (flag == 1) {
+            run = (int)br.get(5);
+            is_smaller = run % 3;
+            run -= is_smaller;
+            is_smaller--;
+        }
+        if (run > 0) {
+            for (int k = 0; k < run; k += 3) {
+                decodeints(br, 3, smallidx, sizesmall, thiscoord);
+                i++;
+                thiscoord[0] += prevcoord[0] - smallnum;
+                thiscoord[1] += prevcoord[1] - smallnum;
+                thiscoord[2] += prevcoord[2] - smallnum;
+                if (k == 0) {
+                    // interchange first with second atom (water-molecule
+                    // trick): write the delta-decoded atom first
+                    std::swap(thiscoord[0], prevcoord[0]);
+                    std::swap(thiscoord[1], prevcoord[1]);
+                    std::swap(thiscoord[2], prevcoord[2]);
+                    out[o++] = (float)prevcoord[0] * inv_precision;
+                    out[o++] = (float)prevcoord[1] * inv_precision;
+                    out[o++] = (float)prevcoord[2] * inv_precision;
+                } else {
+                    prevcoord[0] = thiscoord[0];
+                    prevcoord[1] = thiscoord[1];
+                    prevcoord[2] = thiscoord[2];
+                }
+                out[o++] = (float)thiscoord[0] * inv_precision;
+                out[o++] = (float)thiscoord[1] * inv_precision;
+                out[o++] = (float)thiscoord[2] * inv_precision;
+            }
+        } else {
+            out[o++] = (float)thiscoord[0] * inv_precision;
+            out[o++] = (float)thiscoord[1] * inv_precision;
+            out[o++] = (float)thiscoord[2] * inv_precision;
+        }
+        smallidx += is_smaller;
+        if (is_smaller < 0) {
+            smallnum = smaller;
+            smaller = smallidx > kFirstIdx ? kMagicInts[smallidx - 1] / 2 : 0;
+        } else if (is_smaller > 0) {
+            smaller = smallnum;
+            smallnum = kMagicInts[smallidx] / 2;
+        }
+        sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)kMagicInts[smallidx];
     }
-    if (!br.ok) return false;
-    out.resize(natoms * 3);
-    for (int k = 0; k < natoms * 3; k++) out[k] = (float)ip[k] / precision;
-    *natoms_out = natoms;
-    return true;
+    return br.ok && i == natoms && o == (size_t)natoms * 3;
 }
 
 const int kXtcMagic = 1995;
@@ -472,8 +723,7 @@ int trajio_xtc_write(const char* path, const float* pos_nm, int n_frames, int n_
         w.put_i32(fr);            // step
         w.put_f32((float)fr);     // time
         for (int k = 0; k < 9; k++) w.put_f32(0.0f);  // box
-        encode_frame(w, pos_nm + (size_t)fr * n_atoms * 3, n_atoms, precision);
-        if (!w.ok) {
+        if (!encode_frame(w, pos_nm + (size_t)fr * n_atoms * 3, n_atoms, precision) || !w.ok) {
             fclose(f);
             return -2;
         }

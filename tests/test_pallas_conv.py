@@ -1,4 +1,5 @@
-"""Fused Pallas conv: numerical parity against the XLA path (interpret mode on CPU)."""
+"""Fused Pallas conv kernels: numerical parity against the XLA path
+(interpret mode on CPU), for both the lane-packed and plane variants."""
 
 import functools
 
@@ -34,7 +35,8 @@ def _edges(batch, cutoff, bond0):
     )
 
 
-def test_pallas_conv_matches_xla():
+@pytest.mark.parametrize("variant", ["packed", "plane"])
+def test_pallas_conv_matches_xla(variant):
     rng = np.random.default_rng(0)
     batch = make_test_batch(num_graphs=2, max_nodes=16, nodes_per_graph=[14, 16], scale=0.3)
     cutoff = jnp.asarray(0.8)
@@ -48,7 +50,7 @@ def test_pallas_conv_matches_xla():
     )
     conv_pal = Conv(
         irreps_in=IRREPS_IN, irreps_out=IRREPS_OUT, irreps_sh=IRREPS_SH,
-        edge_attr_dim=64, tensor_product="uvu", use_pallas=True,
+        edge_attr_dim=64, tensor_product="uvu", use_pallas=True, pallas_variant=variant,
     )
     params = conv_ref.init(jax.random.PRNGKey(0), x, edges)
 
@@ -57,7 +59,34 @@ def test_pallas_conv_matches_xla():
     np.testing.assert_allclose(out_pal, out_ref, atol=2e-4, rtol=1e-3)
 
 
-def test_pallas_e3conv_matches_xla():
+def test_packed_conv_scalar_only_matches_xla():
+    """V = 0 (the embedding projector shape) — lane-packed kernel only."""
+    rng = np.random.default_rng(1)
+    batch = make_test_batch(num_graphs=2, max_nodes=16, nodes_per_graph=[14, 16], scale=0.3)
+    cutoff = jnp.asarray(0.8)
+    bond0 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    edges = _edges(batch, cutoff, bond0)
+    irreps_in = Irreps("24x0e")
+    x = jnp.asarray(rng.standard_normal((2, 16, irreps_in.dim)).astype(np.float32))
+
+    kwargs = dict(
+        irreps_in=irreps_in, irreps_out=IRREPS_OUT, irreps_sh=IRREPS_SH,
+        edge_attr_dim=64, tensor_product="uvu",
+    )
+    conv_ref = Conv(**kwargs, use_pallas=False, fast_path=False)  # generic einsum path
+    conv_fast = Conv(**kwargs, use_pallas=False, fast_path=True)  # SoA V=0 fast path
+    conv_pal = Conv(**kwargs, use_pallas=True, pallas_variant="packed")
+    params = conv_ref.init(jax.random.PRNGKey(0), x, edges)
+
+    out_ref = np.asarray(jax.jit(conv_ref.apply)(params, x, edges))
+    out_fast = np.asarray(jax.jit(conv_fast.apply)(params, x, edges))
+    out_pal = np.asarray(jax.jit(conv_pal.apply)(params, x, edges))
+    np.testing.assert_allclose(out_fast, out_ref, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(out_pal, out_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("variant", ["packed", "plane"])
+def test_pallas_e3conv_matches_xla(variant):
     from jamun_tpu.models.e3conv import E3Conv
 
     batch = make_test_batch(num_graphs=2, max_nodes=16, scale=0.3)
@@ -70,7 +99,7 @@ def test_pallas_e3conv_matches_xla():
         tensor_product="uvu",
     )
     ref = E3Conv(**kwargs, use_pallas=False)
-    pal = E3Conv(**kwargs, use_pallas=True)
+    pal = E3Conv(**kwargs, use_pallas=True, pallas_variant=variant)
     params = jax.jit(ref.init)(jax.random.PRNGKey(0), batch, c_noise, cutoff)
     # nonzero output gain so the comparison is nontrivial
     params = jax.tree.map(lambda p: p + 0.5 if p.ndim == 0 else p, params)
