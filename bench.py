@@ -46,7 +46,9 @@ def main():
     from jamun_tpu.sampling.mcmc import BAOAB, MCMCConfig
     from jamun_tpu.utils.testing import make_test_batch
 
-    use_pallas = "--pallas" in sys.argv
+    # default: the fused Pallas layer kernel (ops/pallas/packed_conv.py),
+    # 0.0407 ms/sample vs 0.0654 for the XLA fast path on v5e
+    use_pallas = "--no-pallas" not in sys.argv
     arch = E3Conv(tensor_product="uvu", dtype=jnp.bfloat16, use_pallas=use_pallas)
     den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.5))
     batch = make_test_batch(

@@ -87,6 +87,14 @@ def run(cfg) -> None:
             f"(no config.pkl next to {ckpt_path} and no model.average_squared_distance "
             "in the sampling config); pass average_squared_distance=<value> explicitly."
         )
+    # Sampling is forward-only, so the fused Pallas conv layer kernel
+    # (ops/pallas/packed_conv.py) is usable even for checkpoints trained on
+    # the XLA path — it is numerically parity-tested and unsupported shapes
+    # fall back automatically inside Conv. Override with use_pallas=false.
+    arch_cfg = model_cfg.get("arch")
+    if isinstance(arch_cfg, dict) and "E3Conv" in str(arch_cfg.get("_target_", "")):
+        arch_cfg["use_pallas"] = bool(cfg.get("use_pallas", True))
+
     denoiser = build_denoiser(model_cfg, float(asd))
     optimizer = build_optimizer(model_cfg)
     state = create_train_state(denoiser, optimizer, init_graphs, seed=0)

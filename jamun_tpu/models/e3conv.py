@@ -115,8 +115,7 @@ class E3Conv(nn.Module):
             bond_part = jnp.broadcast_to(bond_vec, dist.shape + (bonded_dim,))
             return jnp.concatenate([bond_part, radial], axis=-1)
 
-        # dense edge features are still built for the (scalar-input) initial
-        # projector; hidden layers recompute them inside the fused kernel
+        # dense edge features for the XLA paths (unused ones are DCE'd by XLA)
         edges = dense_edge_data(
             batch.pos,
             batch.node_mask,
@@ -128,7 +127,29 @@ class E3Conv(nn.Module):
             attr_fn=attr_fn,
             dense=True,
             bond0_embed=bond_embed[0],
+            bond1_embed=bond_embed[1],
         )
+        if self.use_pallas and self.pallas_variant == "packed" and not self.is_initializing():
+            # lane-packed edge features (SH/adjacency/radial basis) are
+            # IDENTICAL for all conv layers of this forward: compute once
+            import jax
+
+            from jamun_tpu.ops.pallas.packed_conv import packed_edge_features
+
+            ef, bf, ebsT, ebd = packed_edge_features(
+                batch.pos,
+                batch.node_mask,
+                batch.bond_src,
+                batch.bond_dst,
+                batch.bond_mask,
+                radial_cutoff,
+                n_radial=radial_dim,
+                interpret=jax.default_backend() not in ("tpu", "axon"),
+                compute_dtype=self.dtype,
+            )
+            edges = edges.replace(
+                ef_packed=ef, bf_packed=bf, ebsT_packed=ebsT, ebd_packed=ebd
+            )
 
         if self.use_residue_information:
             embedder = AtomEmbeddingWithResidueInformation(

@@ -115,6 +115,16 @@ class Conv(nn.Module):
             )
         )
 
+    def _fused_layer_supported(self, edges: EdgeData) -> bool:
+        """The full-layer kernel additionally needs the post-linear (uvu only),
+        a parity-even l<=1 irreps_out, and both bondedness embedding rows."""
+        if self._post_linear is None or edges.bond1_embed is None:
+            return False
+        irreps_out = Irreps(self.irreps_out)
+        return all(mi.ir.l in (0, 1) and mi.ir.p == 1 for mi in irreps_out) and any(
+            mi.ir.l == 0 for mi in irreps_out
+        )
+
     def _fast_uvu_supported(self) -> bool:
         irreps_sh = Irreps(self.irreps_sh)
         return (
@@ -135,11 +145,59 @@ class Conv(nn.Module):
         if self._pallas_supported(node_attr, edges):
             S, V = self._sv_shape()
             rp = self.radial_nn.variables["params"]
+            n_radial = (self.edge_attr_dim + 1) // 2
+            interpret = jax.default_backend() not in ("tpu", "axon")  # CPU: interpreter
+            if self.pallas_variant == "packed" and self._fused_layer_supported(edges):
+                # the COMPLETE layer (dense + bonds + mean-agg + post-linear)
+                # fused in one kernel; edge features computed once per forward
+                from jamun_tpu.ops.pallas.packed_conv import (
+                    packed_edge_features,
+                    packed_separable_conv_layer,
+                )
+
+                if edges.ef_packed is not None:
+                    ef, bf, ebsT, ebd = (
+                        edges.ef_packed, edges.bf_packed, edges.ebsT_packed, edges.ebd_packed
+                    )
+                else:
+                    ef, bf, ebsT, ebd = packed_edge_features(
+                        edges.pos,
+                        edges.node_mask,
+                        edges.bond_src,
+                        edges.bond_dst,
+                        edges.bond_mask > 0,
+                        edges.radial_cutoff,
+                        n_radial=n_radial,
+                        interpret=interpret,
+                        compute_dtype=self.dtype,
+                    )
+                out_blocks = tuple(
+                    (mi.mul, mi.ir.l) for mi in Irreps(self.irreps_out)
+                )
+                out = packed_separable_conv_layer(
+                    node_attr,
+                    ef, bf, ebsT, ebd,
+                    rp["Dense_0"]["kernel"],
+                    rp["Dense_0"]["bias"],
+                    rp["Dense_1"]["kernel"],
+                    rp["Dense_1"]["bias"],
+                    edges.bond0_embed,
+                    edges.bond1_embed,
+                    dict(self._post_linear.variables["params"]),
+                    S=S,
+                    V=V,
+                    out_blocks=out_blocks,
+                    n_radial=n_radial,
+                    interpret=interpret,
+                    compute_dtype=self.dtype,
+                )
+                return out.astype(out_dtype)
+
             kernel_kwargs = dict(
                 S=S,
                 V=V,
-                n_radial=(self.edge_attr_dim + 1) // 2,
-                interpret=jax.default_backend() not in ("tpu", "axon"),  # CPU: interpreter
+                n_radial=n_radial,
+                interpret=interpret,
                 compute_dtype=self.dtype,
             )
             if self.pallas_variant == "packed":

@@ -86,6 +86,13 @@ class EdgeData:
     node_mask: Optional[jnp.ndarray] = None  # [G, N]
     radial_cutoff: Optional[jnp.ndarray] = None  # scalar
     bond0_embed: Optional[jnp.ndarray] = None  # [A // 2] bondedness-0 row
+    bond1_embed: Optional[jnp.ndarray] = None  # [A // 2] bondedness-1 row
+    # precomputed lane-packed edge features (ops/pallas/packed_conv.py):
+    # identical for every conv layer of one forward, computed once by E3Conv
+    ef_packed: Optional[jnp.ndarray] = None  # [G, EFR, N*N]
+    bf_packed: Optional[jnp.ndarray] = None  # [G, EFR, B]
+    ebsT_packed: Optional[jnp.ndarray] = None  # [G, N, B]
+    ebd_packed: Optional[jnp.ndarray] = None  # [G, B, N]
 
 
 def dense_edge_data(
@@ -99,6 +106,7 @@ def dense_edge_data(
     attr_fn,
     dense: bool = True,
     bond0_embed: Optional[jnp.ndarray] = None,
+    bond1_embed: Optional[jnp.ndarray] = None,
 ) -> EdgeData:
     """Build EdgeData from positions.
 
@@ -145,4 +153,5 @@ def dense_edge_data(
         node_mask=node_mask,
         radial_cutoff=radial_cutoff,
         bond0_embed=bond0_embed,
+        bond1_embed=bond1_embed,
     )

@@ -372,3 +372,488 @@ def packed_uvu_conv_dense(
         deg = outT[:, 4 * Sp, :]
     packed = jnp.concatenate(parts, axis=-1)
     return packed, deg
+
+
+# ===========================================================================
+# Fused full-layer kernels: edge-feature precompute + complete SeparableConv
+# (dense radial conv + bonded edges + degree normalization + post-linear) in
+# one Pallas program per K graphs. The edge features (SH / adjacency / radial
+# basis) are IDENTICAL for every conv layer of one denoiser forward, so they
+# are computed once per forward by `packed_edge_features` and consumed by all
+# 6 `packed_separable_conv_layer` calls.
+# ===========================================================================
+
+EF_GEOM = 16  # feature-buffer rows 0..3: shy, shz, shx, adjacency/mask
+
+
+def _ef_rows(n_radial: int) -> int:
+    return EF_GEOM + _pad16(n_radial)
+
+
+def _dense_onehots(N: int, P: int, f32):
+    """(EjT [N, P], EiT [N, P], eye_row [1, P]) built from 2D iota."""
+    id1 = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    ).astype(f32)
+    ejt = id1 if N == P else jnp.concatenate([id1] * N, axis=1)
+    offt = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1) - jax.lax.broadcasted_iota(
+        jnp.int32, (N, P), 0
+    ) * N
+    eit = ((offt >= 0) & (offt < N)).astype(f32)
+    eye_row = jnp.sum(ejt * eit, axis=0, keepdims=True)
+    return ejt, eit, eye_row
+
+
+def _geom_radial_rows(dx, dy, dz, adj, cutoff, n_radial, cdt):
+    """Stack [shy, shz, shx, adj, pad | radial basis, pad] -> [_ef_rows, P/B]."""
+    f32 = jnp.float32
+    d2 = dx * dx + dy * dy + dz * dz
+    dist = jnp.sqrt(d2 + 1e-12)
+    inv_d = 1.0 / jnp.maximum(dist, 1e-12)
+    shy = (_SQRT3 * dy * inv_d).astype(cdt)
+    shz = (_SQRT3 * dz * inv_d).astype(cdt)
+    shx = (_SQRT3 * dx * inv_d).astype(cdt)
+    L = dx.shape[1]
+    step = cutoff / (n_radial + 1)
+    centers = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_radial, 1), 0).astype(f32) + 1.0
+    ) * step
+    diff = (jnp.broadcast_to(dist, (n_radial, L)) - centers) / step
+    radial = (jnp.exp(-(diff * diff)) * (1.0 / 1.12)).astype(cdt)
+    parts = [shy, shz, shx, adj]
+    if EF_GEOM > 4:
+        parts.append(jnp.zeros((EF_GEOM - 4, L), cdt))
+    parts.append(radial)
+    if _pad16(n_radial) > n_radial:
+        parts.append(jnp.zeros((_pad16(n_radial) - n_radial, L), cdt))
+    return jnp.concatenate(parts, axis=0), dist
+
+
+def _edge_feat_kernel(
+    posm_ref,   # [K, 8, N]  f32: rows x, y, z, mask, 0...
+    ebsT_ref,   # [K, N, B]  f32 one-hot columns of bond_src (zeroed when padded)
+    ebdT_ref,   # [K, N, B]  f32 one-hot columns of bond_dst (zeroed when padded)
+    scal_ref,   # [1, 4]     f32: cutoff
+    ef_ref,     # [K, EFR, P] cdt
+    bf_ref,     # [K, EFR, B] cdt
+    *,
+    N: int,
+    B: int,
+    n_radial: int,
+    K: int,
+):
+    f32 = jnp.float32
+    cdt = ef_ref.dtype
+    P = N * N
+    cutoff = scal_ref[0, 0]
+    hi = jax.lax.Precision.HIGHEST
+    ejt_f, eit_f, eye_row = _dense_onehots(N, P, f32)
+
+    for k in range(K):
+        pmj = jnp.dot(posm_ref[k], ejt_f, preferred_element_type=f32, precision=hi)
+        pmi = jnp.dot(posm_ref[k], eit_f, preferred_element_type=f32, precision=hi)
+        rel = pmj - pmi  # [8, P]
+        dx, dy, dz = rel[0:1], rel[1:2], rel[2:3]
+        mj, mi = pmj[3:4], pmi[3:4]
+        d2 = dx * dx + dy * dy + dz * dz
+        dist0 = jnp.sqrt(d2 + 1e-12)
+        adj = ((dist0 < cutoff) & (eye_row < 0.5) & (mi > 0) & (mj > 0)).astype(cdt)
+        ef_ref[k], _ = _geom_radial_rows(dx, dy, dz, adj, cutoff, n_radial, cdt)
+
+        # bonds: gather src/dst positions through the (mask-zeroed) one-hots
+        pms = jnp.dot(posm_ref[k], ebsT_ref[k], preferred_element_type=f32, precision=hi)
+        pmd = jnp.dot(posm_ref[k], ebdT_ref[k], preferred_element_type=f32, precision=hi)
+        maskb = jnp.sum(ebsT_ref[k], axis=0, keepdims=True).astype(cdt)  # [1, B]
+        brel = pms - pmd  # bvec = pos[src] - pos[dst] (reference convention)
+        bf_ref[k], _ = _geom_radial_rows(
+            brel[0:1], brel[1:2], brel[2:3], maskb, cutoff, n_radial, cdt
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_radial", "interpret", "compute_dtype", "graphs_per_program")
+)
+def packed_edge_features(
+    pos: jnp.ndarray,        # [G, N, 3] f32
+    node_mask: jnp.ndarray,  # [G, N] bool
+    bond_src: jnp.ndarray,   # [G, B] int32
+    bond_dst: jnp.ndarray,   # [G, B] int32
+    bond_mask: jnp.ndarray,  # [G, B] bool
+    cutoff: jnp.ndarray,     # scalar
+    n_radial: int = 32,
+    interpret: bool = False,
+    compute_dtype=None,
+    graphs_per_program: int = 8,
+):
+    """Per-forward edge features for the fused conv layers.
+
+    Returns (ef [G, EFR, P], bf [G, EFR, B], ebsT [G, N, B], ebd [G, B, N])."""
+    G, N, _ = pos.shape
+    B = bond_src.shape[1]
+    f32 = jnp.float32
+    cdt = compute_dtype or jnp.float32
+    EFR = _ef_rows(n_radial)
+
+    K = max(1, min(graphs_per_program, G))
+    Gp = ((G + K - 1) // K) * K
+    padg = Gp - G
+    if padg:
+        pos = jnp.concatenate([pos, jnp.zeros((padg, N, 3), pos.dtype)], axis=0)
+        node_mask = jnp.concatenate([node_mask, jnp.zeros((padg, N), node_mask.dtype)], axis=0)
+        bond_src = jnp.concatenate([bond_src, jnp.zeros((padg, B), bond_src.dtype)], axis=0)
+        bond_dst = jnp.concatenate([bond_dst, jnp.zeros((padg, B), bond_dst.dtype)], axis=0)
+        bond_mask = jnp.concatenate([bond_mask, jnp.zeros((padg, B), bond_mask.dtype)], axis=0)
+
+    posm = jnp.concatenate(
+        [
+            jnp.swapaxes(pos, -1, -2).astype(f32),
+            node_mask.astype(f32)[:, None, :],
+            jnp.zeros((Gp, 4, N), f32),
+        ],
+        axis=1,
+    )  # [Gp, 8, N]
+    bm = bond_mask.astype(f32)
+    ebsT = (jax.nn.one_hot(bond_src, N, dtype=f32) * bm[..., None]).swapaxes(-1, -2)  # [Gp, N, B]
+    ebdT = (jax.nn.one_hot(bond_dst, N, dtype=f32) * bm[..., None]).swapaxes(-1, -2)
+    scalars = jnp.broadcast_to(jnp.asarray([cutoff, 0.0, 0.0, 0.0], f32)[None], (1, 4))
+
+    kernel = functools.partial(_edge_feat_kernel, N=N, B=B, n_radial=n_radial, K=K)
+
+    def gspec(shape):
+        return pl.BlockSpec((K,) + shape, lambda g: (g,) + (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    def shared(shape):
+        return pl.BlockSpec(shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    ef, bf = pl.pallas_call(
+        kernel,
+        grid=(Gp // K,),
+        in_specs=[gspec((8, N)), gspec((N, B)), gspec((N, B)), shared((1, 4))],
+        out_specs=(gspec((EFR, N * N)), gspec((EFR, B))),
+        out_shape=(
+            jax.ShapeDtypeStruct((Gp, EFR, N * N), cdt),
+            jax.ShapeDtypeStruct((Gp, EFR, B), cdt),
+        ),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(posm, ebsT, ebdT, scalars)
+    ebd = jnp.swapaxes(ebdT, -1, -2)
+    if padg:
+        ef, bf, ebsT, ebd = ef[:G], bf[:G], ebsT[:G], ebd[:G]
+    return ef, bf, ebsT, ebd
+
+
+def _layer_kernel(
+    nf_ref,    # [K, Fp, N]   cdt node features: rows [s (Sp) | vy | vz | vx (Vp each)]
+    ef_ref,    # [K, EFR, P]  cdt dense edge features
+    bf_ref,    # [K, EFR, B]  cdt bond edge features
+    ebsT_ref,  # [K, N, B]    f32 bond-src one-hot (zeroed when padded)
+    ebd_ref,   # [K, B, N]    f32 bond-dst one-hot (zeroed when padded)
+    w1_ref,    # [64, nr]     cdt radial layer-1 transposed (radial rows only)
+    b1d_ref,   # [64, 1]      f32 bias with bondedness-0 embedding folded in
+    b1b_ref,   # [64, 1]      f32 bias with bondedness-1 embedding folded in
+    w2_ref,    # [Wp, 64]     cdt layer-2 transposed, rows slotted per path
+    b2_ref,    # [Wp, 1]      f32
+    pl0_ref,   # [C0p, In0p]  cdt post-linear 0e rows ([w_o1 | w_o4] / sqrt(fan))
+    pl1_ref,   # [V1p, In1p]  cdt post-linear 1e rows ([w_o2 | w_o3 | w_o5] / sqrt(fan))
+    out_ref,   # [K, C0p + 3*V1p, N] f32: [0e | 1e(y) | 1e(z) | 1e(x)]
+    *,
+    N: int,
+    B: int,
+    S: int,
+    V: int,
+    n_radial: int,
+    K: int,
+    C0: int,
+    V1: int,
+):
+    f32 = jnp.float32
+    cdt = nf_ref.dtype
+    P = N * N
+    Sp, Vp = _pad16(S), _pad16(V)
+    C0p, V1p = _pad16(C0), _pad16(V1)
+    prec = matmul_precision(cdt)
+    offt = jax.lax.broadcasted_iota(jnp.int32, (P, N), 0) - jax.lax.broadcasted_iota(
+        jnp.int32, (P, N), 1
+    ) * N
+    ei = ((offt >= 0) & (offt < N)).astype(cdt)  # [P, N] aggregation one-hot
+    ejt, _, _ = _dense_onehots(N, P, f32)
+    ejt = ejt.astype(cdt)
+
+    for k in range(K):
+        def stream(feat_ref, agg_rhs, gatherT, b1_eff, L):
+            """One edge stream (dense pairs or bonds): radial MLP -> messages
+            -> aggregated per-path [C, N] blocks + degree row."""
+            shy = feat_ref[k][0:1]
+            shz = feat_ref[k][1:2]
+            shx = feat_ref[k][2:3]
+            adj = feat_ref[k][3:4]
+            radial = feat_ref[k][EF_GEOM : EF_GEOM + n_radial]
+            h32 = (
+                jnp.dot(w1_ref[...], radial, preferred_element_type=f32, precision=prec)
+                + b1_eff[...]
+            )
+            h = (h32 * jax.nn.sigmoid(h32)).astype(cdt)
+            w_all = (
+                jnp.dot(w2_ref[...], h, preferred_element_type=f32, precision=prec)
+                + b2_ref[...]
+            ).astype(cdt)
+
+            def agg(msg):
+                return jnp.dot(msg, agg_rhs, preferred_element_type=f32, precision=prec)
+
+            adjS = jnp.broadcast_to(adj, (Sp, L))
+            sj = (
+                jnp.dot(nf_ref[k][0:Sp], gatherT, preferred_element_type=f32, precision=prec)
+            ).astype(cdt) * adjS
+            w1p = w_all[0:Sp]
+            w2p = w_all[Sp : 2 * Sp]
+            m1 = w1p * sj
+            t2 = w2p * sj
+            shyS = jnp.broadcast_to(shy, (Sp, L))
+            shzS = jnp.broadcast_to(shz, (Sp, L))
+            shxS = jnp.broadcast_to(shx, (Sp, L))
+            blocks = [agg(m1), agg(t2 * shyS), agg(t2 * shzS), agg(t2 * shxS)]
+            if V > 0:
+                vj = (
+                    jnp.dot(
+                        nf_ref[k][Sp : Sp + 3 * Vp], gatherT,
+                        preferred_element_type=f32, precision=prec,
+                    )
+                ).astype(cdt) * jnp.broadcast_to(adj, (3 * Vp, L))
+                vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
+                w3p = w_all[2 * Sp : 2 * Sp + Vp]
+                w4p = w_all[2 * Sp + Vp : 2 * Sp + 2 * Vp]
+                w5p = w_all[2 * Sp + 2 * Vp : 2 * Sp + 3 * Vp]
+                sy = jnp.broadcast_to(shy, (Vp, L))
+                sz = jnp.broadcast_to(shz, (Vp, L))
+                sx = jnp.broadcast_to(shx, (Vp, L))
+                dotv = vy * sy + vz * sz + vx * sx
+                blocks += [
+                    agg(w3p * vy),
+                    agg(w3p * vz),
+                    agg(w3p * vx),
+                    agg(w4p * dotv * _INV_SQRT3),
+                    agg(w5p * (vz * sx - vx * sz) * _INV_SQRT2),
+                    agg(w5p * (vx * sy - vy * sx) * _INV_SQRT2),
+                    agg(w5p * (vy * sz - vz * sy) * _INV_SQRT2),
+                ]
+            deg = agg(adj)  # [1, N]
+            return blocks, deg
+
+        blocks_d, deg_d = stream(ef_ref, ei, ejt, b1d_ref, P)
+        blocks_b, deg_b = stream(bf_ref, ebd_ref[k].astype(cdt), ebsT_ref[k].astype(cdt), b1b_ref, B)
+
+        inv_deg = 1.0 / jnp.maximum(deg_d + deg_b, 1.0)  # [1, N]
+        norm = [
+            ((bd + bb) * inv_deg).astype(cdt) for bd, bb in zip(blocks_d, blocks_b)
+        ]
+        if V > 0:
+            o1n, o2y, o2z, o2x, o3y, o3z, o3x, o4n, o5y, o5z, o5x = norm
+            in0 = jnp.concatenate([o1n, o4n], axis=0)  # [Sp + Vp, N]
+            in1 = [
+                jnp.concatenate([a, b, c], axis=0)  # [Sp + 2Vp, N]
+                for a, b, c in ((o2y, o3y, o5y), (o2z, o3z, o5z), (o2x, o3x, o5x))
+            ]
+        else:
+            o1n, o2y, o2z, o2x = norm
+            in0 = o1n
+            in1 = [o2y, o2z, o2x]
+
+        out_ref[k, 0:C0p] = jnp.dot(
+            pl0_ref[...], in0, preferred_element_type=f32, precision=prec
+        )
+        if V1 > 0:
+            for c in range(3):
+                out_ref[k, C0p + c * V1p : C0p + (c + 1) * V1p] = jnp.dot(
+                    pl1_ref[...], in1[c], preferred_element_type=f32, precision=prec
+                )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "V", "out_blocks", "n_radial", "interpret", "compute_dtype", "graphs_per_program"
+    ),
+)
+def packed_separable_conv_layer(
+    x: jnp.ndarray,          # [G, N, S + 3V] packed irreps node features
+    ef: jnp.ndarray,         # [G, EFR, P] edge features (packed_edge_features)
+    bf: jnp.ndarray,         # [G, EFR, B]
+    ebsT: jnp.ndarray,       # [G, N, B]
+    ebd: jnp.ndarray,        # [G, B, N]
+    w1: jnp.ndarray,         # [64, 64] radial layer 1 (bond rows first)
+    b1: jnp.ndarray,         # [64]
+    w2: jnp.ndarray,         # [64, 2S + 3V]
+    b2: jnp.ndarray,         # [2S + 3V]
+    bond0: jnp.ndarray,      # [32] bondedness-0 embedding row
+    bond1: jnp.ndarray,      # [32] bondedness-1 embedding row
+    pl_params,               # dict of post-linear params w_{i_in}_{i_out}
+    S: int,
+    V: int,
+    out_blocks,              # tuple of (mul, l) for irreps_out, in order
+    n_radial: int = 32,
+    interpret: bool = False,
+    compute_dtype=None,
+    graphs_per_program: int = 8,
+) -> jnp.ndarray:
+    """The COMPLETE SeparableConv layer: dense radial conv + bonded edges +
+    mean aggregation + post-linear, fused into one kernel per K graphs.
+    Returns [G, N, irreps_out.dim] in packed irreps layout.
+
+    Reference scope: `Conv.forward` incl. torch_scatter aggregation and the
+    SeparableTensorProduct's pointwise o3.Linear
+    (`/root/reference/src/jamun/e3tools/nn/_conv.py:96-118`,
+    `nn/_tensor_product.py:27-53`)."""
+    G, N, _ = x.shape
+    B = ebd.shape[1]
+    f32 = jnp.float32
+    cdt = compute_dtype or jnp.float32
+    Sp, Vp = _pad16(S), _pad16(V)
+    EFR = _ef_rows(n_radial)
+
+    C0 = sum(mul for mul, l in out_blocks if l == 0)
+    V1 = sum(mul for mul, l in out_blocks if l == 1)
+    C0p, V1p = _pad16(C0), _pad16(V1)
+
+    K = max(1, min(graphs_per_program, G))
+    Gp = ((G + K - 1) // K) * K
+    padg = Gp - G
+    if padg:
+        def padg_fn(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((padg,) + a.shape[1:], a.dtype)], axis=0
+            )
+
+        x, ef, bf, ebsT, ebd = map(padg_fn, (x, ef, bf, ebsT, ebd))
+
+    # --- transposed, slot-padded node features ---
+    sT = jnp.swapaxes(x[..., :S], -1, -2).astype(cdt)
+    parts = [sT]
+    if Sp != S:
+        parts.append(jnp.zeros((Gp, Sp - S, N), cdt))
+    if V > 0:
+        v = x[..., S:].reshape(Gp, N, V, 3).astype(cdt)
+        for c in range(3):
+            parts.append(jnp.swapaxes(v[..., c], -1, -2))
+            if Vp != V:
+                parts.append(jnp.zeros((Gp, Vp - V, N), cdt))
+    nfT = jnp.concatenate(parts, axis=1)
+
+    # --- radial weights: bond-embedding folds + transposed row slots ---
+    nb = w1.shape[0] - n_radial
+    hiP = jax.lax.Precision.HIGHEST
+    b1d = b1 + jnp.einsum("i,ij->j", bond0.astype(f32), w1[:nb].astype(f32), precision=hiP)
+    b1b = b1 + jnp.einsum("i,ij->j", bond1.astype(f32), w1[:nb].astype(f32), precision=hiP)
+    w1T = w1[nb:].T.astype(cdt)
+    path_dims = (S, S, V, V, V) if V > 0 else (S, S)
+    pad_dims = (Sp, Sp, Vp, Vp, Vp) if V > 0 else (Sp, Sp)
+    w2_rows, b2_rows = [], []
+    off = 0
+    for C, Cp in zip(path_dims, pad_dims):
+        w2_rows.append(w2[:, off : off + C].T.astype(cdt))
+        b2_rows.append(b2[off : off + C].astype(f32)[:, None])
+        if Cp != C:
+            w2_rows.append(jnp.zeros((Cp - C, 64), cdt))
+            b2_rows.append(jnp.zeros((Cp - C, 1), f32))
+        off += C
+    w2T = jnp.concatenate(w2_rows, axis=0)
+    b2T = jnp.concatenate(b2_rows, axis=0)
+
+    # --- post-linear packing: rows = output channels, columns = slotted dtp
+    # inputs; IrrepsLinear's 1/sqrt(fan_in) folded in ---
+    # dtp block ids: V>0: 0=o1(0e), 1=o2(1e), 2=o3(1e), 3=o4(0e), 4=o5(1e);
+    #                V=0: 0=o1(0e), 1=o2(1e)
+    in0_ids = (0, 3) if V > 0 else (0,)
+    in1_ids = (1, 2, 4) if V > 0 else (1,)
+    in0_dims = (S, V) if V > 0 else (S,)
+    in1_dims = (S, V, V) if V > 0 else (S,)
+    in0_pads = (Sp, Vp) if V > 0 else (Sp,)
+    in1_pads = (Sp, Vp, Vp) if V > 0 else (Sp,)
+    In0p, In1p = sum(in0_pads), sum(in1_pads)
+    fan0 = sum(in0_dims)
+    fan1 = sum(in1_dims)
+
+    def pack_pl(out_l, ids, dims, pads, Inp, Cp_out, fan):
+        rows = []
+        for j, (mul, l) in enumerate(out_blocks):
+            if l != out_l:
+                continue
+            cols = []
+            for i_in, d, p in zip(ids, dims, pads):
+                w = pl_params[f"w_{i_in}_{j}"]  # [d, mul]
+                wT = w.T.astype(cdt) / math.sqrt(max(fan, 1))
+                if p != d:
+                    wT = jnp.concatenate([wT, jnp.zeros((mul, p - d), cdt)], axis=1)
+                cols.append(wT)
+            rows.append(jnp.concatenate(cols, axis=1))  # [mul, Inp]
+        if not rows:
+            return jnp.zeros((Cp_out, Inp), cdt)
+        m = jnp.concatenate(rows, axis=0)
+        if m.shape[0] != Cp_out:
+            m = jnp.concatenate([m, jnp.zeros((Cp_out - m.shape[0], Inp), cdt)], axis=0)
+        return m
+
+    pl0T = pack_pl(0, in0_ids, in0_dims, in0_pads, In0p, C0p, fan0)
+    pl1T = pack_pl(1, in1_ids, in1_dims, in1_pads, In1p, max(V1p, _TILE), fan1)
+
+    kernel = functools.partial(
+        _layer_kernel, N=N, B=B, S=S, V=V, n_radial=n_radial, K=K, C0=C0, V1=V1
+    )
+
+    def gspec(shape):
+        return pl.BlockSpec((K,) + shape, lambda g: (g,) + (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    def shared(shape):
+        return pl.BlockSpec(shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    Cp_out = C0p + 3 * V1p
+    outT = pl.pallas_call(
+        kernel,
+        grid=(Gp // K,),
+        in_specs=[
+            gspec((nfT.shape[1], N)),
+            gspec((EFR, N * N)),
+            gspec((EFR, B)),
+            gspec((N, B)),
+            gspec((B, N)),
+            shared(w1T.shape),
+            shared((64, 1)),
+            shared((64, 1)),
+            shared(w2T.shape),
+            shared(b2T.shape),
+            shared(pl0T.shape),
+            shared(pl1T.shape),
+        ],
+        out_specs=gspec((Cp_out, N)),
+        out_shape=jax.ShapeDtypeStruct((Gp, Cp_out, N), f32),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(
+        nfT, ef, bf, ebsT, ebd,
+        w1T, b1d.astype(f32)[:, None], b1b.astype(f32)[:, None], w2T, b2T, pl0T, pl1T,
+    )
+    if padg:
+        outT = outT[:G]
+
+    # --- reassemble packed irreps layout from the [0e | 1e(y,z,x)] sections ---
+    out_parts = []
+    off0 = 0
+    off1 = 0
+    for mul, l in out_blocks:
+        if l == 0:
+            out_parts.append(jnp.swapaxes(outT[:, off0 : off0 + mul, :], -1, -2))
+            off0 += mul
+        else:
+            comps = [
+                jnp.swapaxes(outT[:, C0p + c * V1p + off1 : C0p + c * V1p + off1 + mul, :], -1, -2)
+                for c in range(3)
+            ]
+            out_parts.append(jnp.stack(comps, axis=-1).reshape(G, N, 3 * mul))
+            off1 += mul
+    return jnp.concatenate(out_parts, axis=-1)

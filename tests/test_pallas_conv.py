@@ -21,17 +21,19 @@ IRREPS_OUT = Irreps("16x0e + 8x1e")
 IRREPS_SH = Irreps("1x0e + 1x1e")
 
 
-def _edges(batch, cutoff, bond0):
+def _edges(batch, cutoff, bond0, bond1=None):
+    if bond1 is None:
+        bond1 = jnp.ones((32,))
+
     def attr_fn(dist, bonded):
+        bond_part = jnp.broadcast_to(bond0 if not bonded else bond1, dist.shape + (32,))
         radial = soft_one_hot_linspace(dist, 0.0, cutoff, 32, basis="gaussian", cutoff=True)
-        row = jnp.zeros((32,)) if not bonded else jnp.ones((32,))
-        bond_part = jnp.broadcast_to(bond0 if not bonded else row, dist.shape + (32,))
         return jnp.concatenate([bond_part, radial], axis=-1)
 
     return dense_edge_data(
         batch.pos, batch.node_mask, batch.bond_src, batch.bond_dst, batch.bond_mask,
         cutoff, functools.partial(spherical_harmonics, IRREPS_SH), attr_fn,
-        dense=True, bond0_embed=bond0,
+        dense=True, bond0_embed=bond0, bond1_embed=bond1,
     )
 
 
