@@ -53,6 +53,7 @@ class _HiddenLayer(nn.Module):
     dtype: Any
     use_pallas: bool
     pallas_variant: str = "packed"
+    atom_axis: str = None
 
     @nn.compact
     def __call__(self, node_attr, edges, c_noise):
@@ -67,6 +68,7 @@ class _HiddenLayer(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_variant=self.pallas_variant,
+            atom_axis=self.atom_axis,
         )(scaled, edges)
         out = NoiseConditionalSkipConnection(irreps_hidden)(node_attr, layer_out, c_noise)
         return out, None
@@ -88,6 +90,9 @@ class E3Conv(nn.Module):
     dtype: Any = None  # hot-path compute dtype, e.g. jnp.bfloat16 (params stay f32)
     use_pallas: bool = False  # fused VMEM conv kernel (uvu, l<=1 only)
     pallas_variant: str = "packed"  # lane-packed [N*N, C] kernel | "plane" [N, N, C]
+    atom_axis: str = None  # shard_map axis name: atom-sharded large-molecule
+    # mode (SURVEY 5.7) — batch holds this shard's local atom rows, node
+    # features are all-gathered per conv layer (the halo exchange)
     scan_layers: bool = False  # lax.scan over the n identical hidden layers
     # (one layer compile instead of n; params gain a leading layer axis)
 
@@ -115,6 +120,19 @@ class E3Conv(nn.Module):
             bond_part = jnp.broadcast_to(bond_vec, dist.shape + (bonded_dim,))
             return jnp.concatenate([bond_part, radial], axis=-1)
 
+        # atom-sharded mode: this shard holds local dst rows; gather the full
+        # molecule once for edge construction (per-layer feature halos happen
+        # inside Conv)
+        src_pos = src_mask = dst_index = None
+        if self.atom_axis is not None:
+            import jax
+
+            src_pos = jax.lax.all_gather(batch.pos, self.atom_axis, axis=1, tiled=True)
+            src_mask = jax.lax.all_gather(batch.node_mask, self.atom_axis, axis=1, tiled=True)
+            n_loc = batch.pos.shape[1]
+            dst_index = jax.lax.axis_index(self.atom_axis) * n_loc + jnp.arange(n_loc)
+            dst_index = jnp.broadcast_to(dst_index[None, :], batch.pos.shape[:2])
+
         # dense edge features for the XLA paths (unused ones are DCE'd by XLA)
         edges = dense_edge_data(
             batch.pos,
@@ -128,8 +146,16 @@ class E3Conv(nn.Module):
             dense=True,
             bond0_embed=bond_embed[0],
             bond1_embed=bond_embed[1],
+            src_pos=src_pos,
+            src_mask=src_mask,
+            dst_index=dst_index,
         )
-        if self.use_pallas and self.pallas_variant == "packed" and not self.is_initializing():
+        if (
+            self.use_pallas
+            and self.pallas_variant == "packed"
+            and self.atom_axis is None
+            and not self.is_initializing()
+        ):
             # lane-packed edge features (SH/adjacency/radial basis) are
             # IDENTICAL for all conv layers of this forward: compute once
             import jax
@@ -181,6 +207,7 @@ class E3Conv(nn.Module):
             # the lane-packed kernel (and the SoA fast path) handle V = 0
             use_pallas=self.use_pallas,
             pallas_variant=self.pallas_variant,
+            atom_axis=self.atom_axis,
         )(node_attr, edges)
 
         layer_kwargs = dict(
@@ -191,6 +218,7 @@ class E3Conv(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_variant=self.pallas_variant,
+            atom_axis=self.atom_axis,
         )
         if self.scan_layers:
             ScannedLayer = nn.scan(

@@ -45,6 +45,9 @@ class Conv(nn.Module):
     pallas_variant: str = "packed"  # "packed" (lane-packed [N*N, C]) | "plane" ([N, N, C])
     pallas_graphs_per_program: int = 1  # plane-kernel tiling: graphs per grid program
     fast_path: bool = True  # SoA component-plane XLA path for l<=1 uvu
+    atom_axis: Optional[str] = None  # shard_map axis name for atom-sharded mode
+    # (SURVEY 5.7): node features are all-gathered per layer (the halo) and
+    # messages computed into this shard's local dst rows
 
     def setup(self):
         irreps_in = Irreps(self.irreps_in)
@@ -102,9 +105,14 @@ class Conv(nn.Module):
         # "tpu" (e.g. "axon").
         if jax.default_backend() in ("tpu", "axon"):
             N = node_attr.shape[1]
-            shapes_ok = shapes_ok and N >= 32 and S >= 32 and (V == 0 or V >= 16)
+            # upper bound: the kernel holds ~a dozen [C, N^2] VMEM arrays; at
+            # N = 128 that is ~50 MB (fits), at N = 192 it exceeds the scoped
+            # VMEM stack. Larger molecules take the XLA fast path or the
+            # atom-sharded mesh mode (parallel/atom_sharded.py).
+            shapes_ok = shapes_ok and 32 <= N <= 128 and S >= 32 and (V == 0 or V >= 16)
         return (
             self.use_pallas
+            and self.atom_axis is None
             and self.tensor_product == "uvu"
             and not self.is_initializing()
             and edges.pos is not None
@@ -141,6 +149,12 @@ class Conv(nn.Module):
         cdt = self.dtype or node_attr.dtype
         out_dtype = node_attr.dtype
         node_attr = node_attr.astype(cdt)
+        # atom-sharded halo: src features are the full gathered molecule,
+        # dst rows (and therefore outputs) stay local to this shard
+        if self.atom_axis is not None:
+            src_attr_full = jax.lax.all_gather(node_attr, self.atom_axis, axis=1, tiled=True)
+        else:
+            src_attr_full = node_attr
 
         if self._pallas_supported(node_attr, edges):
             S, V = self._sv_shape()
@@ -223,16 +237,19 @@ class Conv(nn.Module):
             from jamun_tpu.ops.fast_uvu import fast_uvu_messages_dense
 
             S, V = self._sv_shape()
-            w_dense = self.radial_nn(edges.attr_dense.astype(cdt))  # [G, N, N, weight_numel]
+            w_dense = self.radial_nn(edges.attr_dense.astype(cdt))  # [G, N, N_src, weight_numel]
             out, deg = fast_uvu_messages_dense(
-                node_attr, edges.sh_dense, w_dense, edges.adj, S=S, V=V,
+                src_attr_full, edges.sh_dense, w_dense, edges.adj, S=S, V=V,
             )
             out = out.astype(out_dtype)
             deg = deg.astype(jnp.float32)
         else:
             # --- dense radial edges (generic XLA path) ---
-            w_dense = self.radial_nn(edges.attr_dense.astype(cdt))  # [G, N, N, weight_numel]
-            src_attr = jnp.broadcast_to(node_attr[:, None, :, :], (G, N, N, node_attr.shape[-1]))
+            w_dense = self.radial_nn(edges.attr_dense.astype(cdt))  # [G, N, N_src, weight_numel]
+            N_src = src_attr_full.shape[1]
+            src_attr = jnp.broadcast_to(
+                src_attr_full[:, None, :, :], (G, N, N_src, src_attr_full.shape[-1])
+            )
             msg = self.tp(src_attr, edges.sh_dense.astype(cdt), w_dense)  # [G, dst, src, out]
             out = jnp.einsum(
                 "gijd,gij->gid", msg, edges.adj.astype(cdt), preferred_element_type=out_dtype
@@ -241,7 +258,7 @@ class Conv(nn.Module):
 
         # --- bonded edges (small static list) ---
         w_bond = self.radial_nn(edges.attr_bond.astype(cdt))  # [G, B, weight_numel]
-        src_b = jnp.take_along_axis(node_attr, edges.bond_src[..., None], axis=1)  # [G, B, D]
+        src_b = jnp.take_along_axis(src_attr_full, edges.bond_src[..., None], axis=1)  # [G, B, D]
         msg_b = self.tp(src_b, edges.sh_bond.astype(cdt), w_bond).astype(out_dtype)
         msg_b = msg_b * edges.bond_mask[..., None]
         out = out + _segment_sum_per_graph(msg_b, edges.bond_dst, N)
@@ -279,6 +296,7 @@ class ConvBlock(nn.Module):
     dtype: Any = None
     use_pallas: bool = False
     pallas_variant: str = "packed"
+    atom_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, node_attr: jnp.ndarray, edges: EdgeData) -> jnp.ndarray:
@@ -294,6 +312,7 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_variant=self.pallas_variant,
+            atom_axis=self.atom_axis,
         )
         # LinearSelfInteraction (`nn/_interaction.py:5`): f(x) passed through a
         # linear "self interaction", plus a linear skip of the input.

@@ -36,8 +36,10 @@ def fast_uvu_messages_dense(
     """Aggregated dtp messages [G, N, S + 3S + 3V + V + 3V] + degree [G, N].
 
     V == 0 (scalar-only input, e.g. the embedding projector) yields [G, N, 4S]
-    with blocks [Sx0e, Sx1e]."""
-    G, N, _ = x.shape
+    with blocks [Sx0e, Sx1e]. In atom-sharded mode x holds the full gathered
+    SRC atoms while sh/weights/adj are dst-sliced [G, N_dst, N_src, ...]."""
+    G, N, _ = x.shape  # N = N_src
+    Nd = adj.shape[1]  # N_dst (== N except in atom-sharded mode)
     dt = weights.dtype
     s = x[..., :S].astype(dt)  # [G, N, S]
 
@@ -61,7 +63,7 @@ def fast_uvu_messages_dense(
     o2z = agg(t2 * shz[..., None])
     o2x = agg(t2 * shx[..., None])
 
-    s1e = jnp.stack([o2y, o2z, o2x], axis=-1).reshape(G, N, 3 * S)
+    s1e = jnp.stack([o2y, o2z, o2x], axis=-1).reshape(G, Nd, 3 * S)
     deg = jnp.sum(adj, axis=-1)
     if V == 0:
         return jnp.concatenate([o1, s1e], axis=-1), deg
@@ -83,7 +85,7 @@ def fast_uvu_messages_dense(
     o5z = agg(w5 * (vxj * shy3 - vyj * shx3) * _INV_SQRT2)
     o5x = agg(w5 * (vyj * shz3 - vzj * shy3) * _INV_SQRT2)
 
-    v3 = jnp.stack([o3y, o3z, o3x], axis=-1).reshape(G, N, 3 * V)
-    v5 = jnp.stack([o5y, o5z, o5x], axis=-1).reshape(G, N, 3 * V)
+    v3 = jnp.stack([o3y, o3z, o3x], axis=-1).reshape(G, Nd, 3 * V)
+    v5 = jnp.stack([o5y, o5z, o5x], axis=-1).reshape(G, Nd, 3 * V)
     packed = jnp.concatenate([o1, s1e, v3, o4, v5], axis=-1)
     return packed, deg

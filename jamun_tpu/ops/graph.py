@@ -107,6 +107,9 @@ def dense_edge_data(
     dense: bool = True,
     bond0_embed: Optional[jnp.ndarray] = None,
     bond1_embed: Optional[jnp.ndarray] = None,
+    src_pos: Optional[jnp.ndarray] = None,
+    src_mask: Optional[jnp.ndarray] = None,
+    dst_index: Optional[jnp.ndarray] = None,
 ) -> EdgeData:
     """Build EdgeData from positions.
 
@@ -118,22 +121,34 @@ def dense_edge_data(
     distance-cutoff graph over *all* pairs including bonded ones; bonded edges
     are an *additional* edge set with bondedness attr 1, so a bonded pair in
     cutoff contributes two messages.
+
+    Atom-sharded mode (SURVEY §5.7): when `src_pos`/`src_mask`/`dst_index` are
+    given, `pos`/`node_mask` hold only this shard's LOCAL dst rows while
+    src_pos holds the full gathered molecule; `dst_index` maps local rows to
+    global atom indices (for the self-edge mask) and `bond_src` indexes the
+    gathered src array while `bond_dst` is local.
     """
     G, N, _ = pos.shape
     sh_dense = attr_dense = adj = None
+    if src_pos is None:
+        src_pos, src_mask = pos, node_mask
     if dense:
         # edge_vec[g, i, j] = pos[src=j] - pos[dst=i]
-        edge_vec = pos[:, None, :, :] - pos[:, :, None, :]
+        edge_vec = src_pos[:, None, :, :] - pos[:, :, None, :]
         dist = jnp.linalg.norm(edge_vec + 1e-12, axis=-1)
-        eye = jnp.eye(N, dtype=bool)[None]
-        pair_mask = node_mask[:, :, None] & node_mask[:, None, :] & (~eye)
+        N_src = src_pos.shape[1]
+        if dst_index is None:
+            eye = jnp.eye(N, N_src, dtype=bool)[None]
+        else:
+            eye = dst_index[:, :, None] == jnp.arange(N_src)[None, None, :]
+        pair_mask = node_mask[:, :, None] & src_mask[:, None, :] & (~eye)
         adj = ((dist < radial_cutoff) & pair_mask).astype(pos.dtype)
 
         sh_dense = sh_fn(edge_vec)
         attr_dense = attr_fn(dist, bonded=False)
 
-    # Bonded edge features.
-    bvec = jnp.take_along_axis(pos, bond_src[..., None], axis=1) - jnp.take_along_axis(
+    # Bonded edge features (bond_src indexes src_pos, bond_dst indexes pos).
+    bvec = jnp.take_along_axis(src_pos, bond_src[..., None], axis=1) - jnp.take_along_axis(
         pos, bond_dst[..., None], axis=1
     )
     bdist = jnp.linalg.norm(bvec + 1e-12, axis=-1)

@@ -97,6 +97,18 @@ class Sampler:
         v_init: Any = "gaussian"
 
         def make_batch_fns(sampler_obj):
+            if getattr(sampler_obj, "offload_chunk_steps", 0) > 0:
+                # host-offload mode: the chunk loop runs OUTSIDE jit (each
+                # chunk is jitted internally; frames drain to host numpy)
+                return (
+                    lambda p, y, k: sampler_obj.sample_chunked(
+                        denoiser, p, init_graphs, k, y, "gaussian"
+                    ),
+                    lambda p, y, v, k: sampler_obj.sample_chunked(
+                        denoiser, p, init_graphs, k, y, v
+                    ),
+                )
+
             def _one_batch(params, y, v, key):
                 return sampler_obj.sample(denoiser, params, init_graphs, key, y, v_init=v)
 

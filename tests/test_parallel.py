@@ -49,3 +49,35 @@ def test_shard_atoms_places_on_all_devices():
     x = jnp.zeros((8 * len(jax.devices()), 4))
     xs = shard_atoms(x, mesh)
     assert len(xs.sharding.device_set) == len(jax.devices())
+
+
+def test_atom_sharded_e3conv_exact():
+    """The REAL E3Conv forward with atoms sharded over the 8-device mesh
+    matches the dense single-device forward (chignolin-scale N=96)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    from jamun_tpu.models.e3conv import E3Conv
+    from jamun_tpu.parallel.atom_sharded import atom_sharded_arch_apply
+    from jamun_tpu.utils.testing import make_test_batch
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    N = 96
+    batch = make_test_batch(
+        num_graphs=2, max_nodes=N, nodes_per_graph=[90, 96], max_bonds=2 * N, scale=0.5
+    )
+    arch = E3Conv(
+        irreps_hidden="8x0e + 4x1e", n_layers=2, edge_attr_dim=8,
+        atom_type_embedding_dim=2, atom_code_embedding_dim=2,
+        residue_code_embedding_dim=2, residue_index_embedding_dim=2,
+        tensor_product="uvu",
+    )
+    c_noise = jnp.asarray([jnp.log(0.04) / 4.0])
+    cutoff = jnp.asarray(1.2)
+    params = jax.jit(arch.init)(jax.random.PRNGKey(0), batch, c_noise, cutoff)
+    # nonzero output gain so the comparison is nontrivial
+    params = jax.tree.map(lambda p: p + 0.5 if p.ndim == 0 else p, params)
+
+    ref = np.asarray(jax.jit(arch.apply)(params, batch, c_noise, cutoff))
+    out = np.asarray(atom_sharded_arch_apply(arch, mesh, params, batch, c_noise, cutoff))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
