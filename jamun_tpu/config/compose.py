@@ -169,6 +169,13 @@ def compose(
     overrides = list(overrides)
     experiments = [o.split("=", 1)[1] for o in overrides if o.startswith("experiment=")]
     overrides = [o for o in overrides if not o.startswith("experiment=")]
+    # Hydra-style group overrides: `model/arch=ophiuchus` REPLACES the config
+    # node at model.arch with <config_dir>/model/arch/ophiuchus.yaml.
+    group_ovs = [
+        o for o in overrides
+        if "=" in o and "/" in o.split("=", 1)[0] and not o.startswith("~")
+    ]
+    overrides = [o for o in overrides if o not in group_ovs]
 
     cfg = _compose_file(config_dir, config_name)
     for exp in experiments:
@@ -176,6 +183,15 @@ def compose(
         overlay = _compose_file(exp_dir, exp)
         overlay.pop("__global_package__", None)
         cfg = merge(cfg, overlay)
+    for ov in group_ovs:
+        group, _, name = ov.partition("=")
+        content = _compose_file(config_dir, os.path.join(group, name))
+        content.pop("__global_package__", None)
+        node = cfg
+        parts = group.strip("/").split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = content
     cfg = apply_overrides(cfg, overrides)
     cfg.pop("__global_package__", None)
     return resolve_interpolations(cfg)

@@ -65,3 +65,21 @@ def test_locate():
     import optax
 
     assert locate("optax.adam") is optax.adam
+
+
+def test_group_override_replaces_node():
+    """Hydra-style `group=option` CLI overrides swap whole config groups."""
+    import os
+
+    from jamun_tpu.config.compose import compose
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = compose(
+        os.path.join(root, "jamun_tpu", "config", "defaults"),
+        "train",
+        ["experiment=train_test", "model/arch=ophiuchus", "model.arch.n_layers=2"],
+        experiment_dir=os.path.join(root, "configs", "experiment"),
+    )
+    assert "Ophiuchus" in cfg["model"]["arch"]["_target_"]
+    assert cfg["model"]["arch"]["n_layers"] == 2
+    assert "mul_factor" in cfg["model"]["arch"]
