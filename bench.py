@@ -28,9 +28,13 @@ BASELINE_MS_PER_SAMPLE = 2.5  # Timewarp 4AA, reference CSV
 
 N_ATOMS = 44  # 4AA-scale heavy-atom count
 N_PAD = 48
-NUM_CHAINS = 128
+NUM_CHAINS = 256  # per-sample optimum for the fused kernel (sweep in
+# BENCH_NOTES: 64 -> 0.0430, 128 -> 0.0407, 256 -> 0.0401, 512 -> 0.0416)
 STEPS = 101  # steps-1 walk updates (reference loop semantics)
 SIGMA = 0.04
+
+if "--chains" in sys.argv:
+    NUM_CHAINS = int(sys.argv[sys.argv.index("--chains") + 1])
 
 
 def log(msg):
