@@ -108,3 +108,71 @@ def test_pallas_e3conv_matches_xla(variant):
     out_ref = np.asarray(jax.jit(ref.apply)(params, batch, c_noise, cutoff))
     out_pal = np.asarray(jax.jit(pal.apply)(params, batch, c_noise, cutoff))
     np.testing.assert_allclose(out_pal, out_ref, atol=5e-4, rtol=1e-3)
+
+
+def test_pallas_e3conv_equivariance():
+    """The fused kernel path preserves E(3)-equivariance of the full model."""
+    from jamun_tpu.models.e3conv import E3Conv
+    from jamun_tpu.utils.equivariance import assert_arch_equivariant
+
+    batch = make_test_batch(num_graphs=2, max_nodes=16, scale=0.3)
+    c_noise = jnp.asarray([jnp.log(0.04) / 4.0])
+    cutoff = jnp.asarray(1.0)
+    arch = E3Conv(
+        irreps_hidden=f"{S}x0e + {V}x1e", n_layers=2, edge_attr_dim=64,
+        atom_type_embedding_dim=4, atom_code_embedding_dim=4,
+        residue_code_embedding_dim=4, residue_index_embedding_dim=4,
+        tensor_product="uvu", use_pallas=True,
+    )
+    params = jax.jit(arch.init)(jax.random.PRNGKey(0), batch, c_noise, cutoff)
+    params = jax.tree.map(lambda p: p + 0.5 if p.ndim == 0 else p, params)
+    apply = jax.jit(lambda b: arch.apply(params, b, c_noise, cutoff))
+    assert_arch_equivariant(apply, batch, atol=1e-3)
+
+
+def test_checkpoint_cross_path_sampling_consistency():
+    """A checkpoint trained on the XLA path samples consistently when loaded
+    into the kernel path (the sample CLI's default behavior)."""
+    import optax
+
+    from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
+    from jamun_tpu.models.e3conv import E3Conv
+    from jamun_tpu.sampling.mcmc import BAOAB, MCMCConfig
+    from jamun_tpu.sampling.walkjump import SingleMeasurementSampler
+    from jamun_tpu.train.distributions import ConstantSigma
+    from jamun_tpu.train.state import create_train_state, make_train_step
+
+    kwargs = dict(
+        irreps_hidden=f"{S}x0e + {V}x1e", n_layers=2, edge_attr_dim=64,
+        atom_type_embedding_dim=4, atom_code_embedding_dim=4,
+        residue_code_embedding_dim=4, residue_index_embedding_dim=4,
+        tensor_product="uvu",
+    )
+    batch = make_test_batch(num_graphs=4, max_nodes=16, scale=0.3)
+    den_train = Denoiser(
+        E3Conv(**kwargs, use_pallas=False),
+        DenoiserConfig(max_radius=1.0, average_squared_distance=0.3),
+    )
+    opt = optax.adam(2e-3)
+    state = create_train_state(den_train, opt, batch, seed=0)
+    step = jax.jit(make_train_step(den_train, opt, ConstantSigma(0.05)))
+    for _ in range(5):
+        state, _ = step(state, batch)
+
+    cfg = MCMCConfig(delta=0.05, steps=21, save_every_n_steps=5, score_fn_clip=100.0)
+    bs = SingleMeasurementSampler(mcmc=BAOAB(cfg), sigma=0.05)
+    mask = batch.node_mask[..., None].astype(batch.pos.dtype)
+    y0 = batch.pos + 0.05 * jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape) * mask
+
+    outs = {}
+    for pallas in (False, True):
+        den = Denoiser(
+            E3Conv(**kwargs, use_pallas=pallas),
+            DenoiserConfig(max_radius=1.0, average_squared_distance=0.3),
+        )
+        outs[pallas] = jax.jit(
+            lambda key, y, den=den: den.score(state.ema_params, batch.replace_pos(y), 0.05)
+        )(jax.random.PRNGKey(2), y0)
+    np.testing.assert_allclose(
+        np.asarray(outs[True]), np.asarray(outs[False]), atol=5e-4, rtol=1e-3
+    )
