@@ -316,6 +316,10 @@ class ConvBlock(nn.Module):
             pallas_variant=self.pallas_variant,
             atom_axis=self.atom_axis,
         )
+
+        if self._fused_block_supported(conv, gate, node_attr, edges):
+            return self._fused_block(conv, gate, node_attr, edges)
+
         # LinearSelfInteraction (`nn/_interaction.py:5`): f(x) passed through a
         # linear "self interaction", plus a linear skip of the input.
         skip = IrrepsLinear(irreps_in, gate.irreps_out)(node_attr)
@@ -323,3 +327,77 @@ class ConvBlock(nn.Module):
         x = gate(x)
         x = IrrepsLinear(gate.irreps_out, gate.irreps_out)(x)
         return x + skip
+
+    def _fused_block_supported(self, conv: Conv, gate: Gate, node_attr, edges) -> bool:
+        """Whole-ConvBlock kernel: additionally requires the canonical gate
+        shape [(Sc,0e),(Gt,0e),(Vg,1e)] with Gt == Vg and default gate acts."""
+        if self.is_initializing():
+            return False  # init runs the normal path so every param is created
+        gin = list(Irreps(gate.irreps_in))
+        canonical = (
+            len(gin) == 3
+            and gin[0].ir.l == 0 and gin[0].ir.p == 1
+            and gin[1].ir.l == 0 and gin[1].ir.p == 1
+            and gin[2].ir.l == 1 and gin[2].ir.p == 1
+            and gin[1].mul == gin[2].mul
+        )
+        return (
+            canonical
+            and self.pallas_variant == "packed"
+            and conv._pallas_supported(node_attr, edges)
+            and conv._fused_layer_supported(edges)
+        )
+
+    def _fused_block(self, conv: Conv, gate: Gate, node_attr, edges) -> jnp.ndarray:
+        """Run the whole block (conv + gate + linear + linear skip) in the
+        fused kernel, reading the (init-created) child params by name."""
+        from jamun_tpu.ops.pallas.packed_conv import (
+            packed_edge_features,
+            packed_separable_conv_layer,
+        )
+
+        cdt = self.dtype or node_attr.dtype
+        out_dtype = node_attr.dtype
+        S, V = conv._sv_shape()
+        n_radial = (self.edge_attr_dim + 1) // 2
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        cp = self.get_variable("params", "Conv_0")
+        rp = cp["radial_nn"]
+        if edges.ef_packed is not None:
+            ef, bf, ebsT, ebd = (
+                edges.ef_packed, edges.bf_packed, edges.ebsT_packed, edges.ebd_packed
+            )
+        else:
+            ef, bf, ebsT, ebd = packed_edge_features(
+                edges.pos,
+                edges.node_mask,
+                edges.bond_src,
+                edges.bond_dst,
+                edges.bond_mask > 0,
+                edges.radial_cutoff,
+                n_radial=n_radial,
+                interpret=interpret,
+                compute_dtype=self.dtype,
+            )
+        out_blocks = tuple((mi.mul, mi.ir.l) for mi in Irreps(gate.irreps_in))
+        out = packed_separable_conv_layer(
+            node_attr.astype(cdt),
+            ef, bf, ebsT, ebd,
+            rp["Dense_0"]["kernel"],
+            rp["Dense_0"]["bias"],
+            rp["Dense_1"]["kernel"],
+            rp["Dense_1"]["bias"],
+            edges.bond0_embed,
+            edges.bond1_embed,
+            dict(cp["_post_linear"]),
+            S=S,
+            V=V,
+            out_blocks=out_blocks,
+            n_radial=n_radial,
+            interpret=interpret,
+            compute_dtype=self.dtype,
+            fuse_block=True,
+            lin2_params=dict(self.get_variable("params", "IrrepsLinear_1")),
+            skip_params=dict(self.get_variable("params", "IrrepsLinear_0")),
+        )
+        return out.astype(out_dtype)

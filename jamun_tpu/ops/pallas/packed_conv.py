@@ -559,8 +559,9 @@ def _layer_kernel(
     b2_ref,    # [Wp, 1]      f32
     pl0_ref,   # [C0p, In0p]  cdt post-linear 0e rows ([w_o1 | w_o4] / sqrt(fan))
     pl1_ref,   # [V1p, In1p]  cdt post-linear 1e rows ([w_o2 | w_o3 | w_o5] / sqrt(fan))
-    out_ref,   # [K, C0p + 3*V1p, N] f32: [0e | 1e(y) | 1e(z) | 1e(x)]
-    *,
+    *rest,     # fuse_block: (lin20_ref [Scp,Scp], lin21_ref [Vgp,Vgp],
+               #              sk0_ref [Scp,Sp], sk1_ref [Vgp,Vp|_TILE], out_ref)
+               # else: (out_ref [K, C0p + 3*V1p, N] f32: [0e | 1e(y,z,x)])
     N: int,
     B: int,
     S: int,
@@ -569,7 +570,15 @@ def _layer_kernel(
     K: int,
     C0: int,
     V1: int,
+    fuse_block: bool = False,
+    gate_shape=None,  # (Sc, Gt, Vg) when fuse_block
 ):
+    if fuse_block:
+        lin20_ref, lin21_ref, sk0_ref, sk1_ref, out_ref = rest
+        Sc, Gt, Vg = gate_shape
+        Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
+    else:
+        (out_ref,) = rest
     f32 = jnp.float32
     cdt = nf_ref.dtype
     P = N * N
@@ -663,20 +672,51 @@ def _layer_kernel(
             in0 = o1n
             in1 = [o2y, o2z, o2x]
 
-        out_ref[k, 0:C0p] = jnp.dot(
-            pl0_ref[...], in0, preferred_element_type=f32, precision=prec
+        if not fuse_block:
+            out_ref[k, 0:C0p] = jnp.dot(
+                pl0_ref[...], in0, preferred_element_type=f32, precision=prec
+            )
+            if V1 > 0:
+                for c in range(3):
+                    out_ref[k, C0p + c * V1p : C0p + (c + 1) * V1p] = jnp.dot(
+                        pl1_ref[...], in1[c], preferred_element_type=f32, precision=prec
+                    )
+            continue
+
+        # --- fused ConvBlock completion: gate -> linear -> + linear skip ---
+        # post-linear with per-block row slots [scalars Scp | gates Gtp]
+        conv0 = jnp.dot(pl0_ref[...], in0, preferred_element_type=f32, precision=prec)
+        conv1 = [
+            jnp.dot(pl1_ref[...], in1[c], preferred_element_type=f32, precision=prec)
+            for c in range(3)
+        ]  # [Vgp, N] each
+        # Gate (reference defaults): LeakyReLU(0.01) scalars, sigmoid gates
+        scal = jax.nn.leaky_relu(conv0[0:Scp], 0.01).astype(cdt)
+        gates = jax.nn.sigmoid(conv0[Scp : Scp + Gtp])
+        gated = [(conv1[c] * gates[0:Vgp]).astype(cdt) for c in range(3)]
+        # second linear + linear skip of the (scaled) block input
+        out0 = jnp.dot(lin20_ref[...], scal, preferred_element_type=f32, precision=prec)
+        out0 = out0 + jnp.dot(
+            sk0_ref[...], nf_ref[k][0:Sp], preferred_element_type=f32, precision=prec
         )
-        if V1 > 0:
-            for c in range(3):
-                out_ref[k, C0p + c * V1p : C0p + (c + 1) * V1p] = jnp.dot(
-                    pl1_ref[...], in1[c], preferred_element_type=f32, precision=prec
+        out_ref[k, 0:Scp] = out0
+        for c in range(3):
+            o1 = jnp.dot(lin21_ref[...], gated[c], preferred_element_type=f32, precision=prec)
+            if V > 0:
+                o1 = o1 + jnp.dot(
+                    sk1_ref[...],
+                    nf_ref[k][Sp + c * Vp : Sp + (c + 1) * Vp],
+                    preferred_element_type=f32,
+                    precision=prec,
                 )
+            out_ref[k, Scp + c * Vgp : Scp + (c + 1) * Vgp] = o1
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "V", "out_blocks", "n_radial", "interpret", "compute_dtype", "graphs_per_program"
+        "S", "V", "out_blocks", "n_radial", "interpret", "compute_dtype",
+        "graphs_per_program", "fuse_block",
     ),
 )
 def packed_separable_conv_layer(
@@ -699,14 +739,23 @@ def packed_separable_conv_layer(
     interpret: bool = False,
     compute_dtype=None,
     graphs_per_program: int = 8,
+    fuse_block: bool = False,
+    lin2_params=None,        # fuse_block: IrrepsLinear params of the 2nd linear
+    skip_params=None,        # fuse_block: IrrepsLinear params of the linear skip
 ) -> jnp.ndarray:
     """The COMPLETE SeparableConv layer: dense radial conv + bonded edges +
     mean aggregation + post-linear, fused into one kernel per K graphs.
     Returns [G, N, irreps_out.dim] in packed irreps layout.
 
+    With `fuse_block` the ENTIRE ConvBlock completes in-kernel: gate
+    nonlinearity, second linear, and the linear skip of the block input
+    (out_blocks must be the canonical gate.irreps_in shape
+    [(Sc,0e),(Gt,0e),(Vg,1e)] with Gt == Vg; returns gate.irreps_out layout
+    [G, N, Sc + 3*Vg]).
+
     Reference scope: `Conv.forward` incl. torch_scatter aggregation and the
-    SeparableTensorProduct's pointwise o3.Linear
-    (`/root/reference/src/jamun/e3tools/nn/_conv.py:96-118`,
+    SeparableTensorProduct's pointwise o3.Linear — plus, with fuse_block, the
+    whole `ConvBlock` (`/root/reference/src/jamun/e3tools/nn/_conv.py:96-223`,
     `nn/_tensor_product.py:27-53`)."""
     G, N, _ = x.shape
     B = ebd.shape[1]
@@ -797,11 +846,68 @@ def packed_separable_conv_layer(
             m = jnp.concatenate([m, jnp.zeros((Cp_out - m.shape[0], Inp), cdt)], axis=0)
         return m
 
-    pl0T = pack_pl(0, in0_ids, in0_dims, in0_pads, In0p, C0p, fan0)
-    pl1T = pack_pl(1, in1_ids, in1_dims, in1_pads, In1p, max(V1p, _TILE), fan1)
+    gate_shape = None
+    extra_ws = []
+    if fuse_block:
+        # canonical gate.irreps_in: [(Sc,0e),(Gt,0e),(Vg,1e)] with Gt == Vg
+        assert (
+            len(out_blocks) == 3
+            and out_blocks[0][1] == 0
+            and out_blocks[1][1] == 0
+            and out_blocks[2][1] == 1
+            and out_blocks[1][0] == out_blocks[2][0]
+        ), out_blocks
+        Sc, Gt, Vg = out_blocks[0][0], out_blocks[1][0], out_blocks[2][0]
+        gate_shape = (Sc, Gt, Vg)
+        Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
+
+        # post-linear with PER-BLOCK row slots (gate row sections tile-aligned)
+        def pack_block(j, mul, Cp_rows, ids, dims, pads, fan):
+            cols = []
+            for i_in, d, pd in zip(ids, dims, pads):
+                w = pl_params[f"w_{i_in}_{j}"]
+                wT = w.T.astype(cdt) / math.sqrt(max(fan, 1))
+                if pd != d:
+                    wT = jnp.concatenate([wT, jnp.zeros((mul, pd - d), cdt)], axis=1)
+                cols.append(wT)
+            m = jnp.concatenate(cols, axis=1)
+            if Cp_rows != mul:
+                m = jnp.concatenate([m, jnp.zeros((Cp_rows - mul, m.shape[1]), cdt)], axis=0)
+            return m
+
+        pl0T = jnp.concatenate(
+            [
+                pack_block(0, Sc, Scp, in0_ids, in0_dims, in0_pads, fan0),
+                pack_block(1, Gt, Gtp, in0_ids, in0_dims, in0_pads, fan0),
+            ],
+            axis=0,
+        )  # [Scp + Gtp, In0p]
+        pl1T = pack_block(2, Vg, Vgp, in1_ids, in1_dims, in1_pads, fan1)
+
+        def pad2(m, rows, cols):
+            if m.shape[0] != rows:
+                m = jnp.concatenate([m, jnp.zeros((rows - m.shape[0], m.shape[1]), cdt)], axis=0)
+            if m.shape[1] != cols:
+                m = jnp.concatenate([m, jnp.zeros((m.shape[0], cols - m.shape[1]), cdt)], axis=1)
+            return m
+
+        # second linear: gate.irreps_out [(Sc,0e),(Vg,1e)] -> itself
+        lin20T = pad2(lin2_params["w_0_0"].T.astype(cdt) / math.sqrt(Sc), Scp, Scp)
+        lin21T = pad2(lin2_params["w_1_1"].T.astype(cdt) / math.sqrt(Vg), Vgp, Vgp)
+        # linear skip: irreps_in [(S,0e)(,(V,1e))] -> gate.irreps_out
+        sk0T = pad2(skip_params["w_0_0"].T.astype(cdt) / math.sqrt(max(S, 1)), Scp, Sp)
+        if V > 0:
+            sk1T = pad2(skip_params["w_1_1"].T.astype(cdt) / math.sqrt(V), Vgp, Vp)
+        else:
+            sk1T = jnp.zeros((Vgp, _TILE), cdt)
+        extra_ws = [lin20T, lin21T, sk0T, sk1T]
+    else:
+        pl0T = pack_pl(0, in0_ids, in0_dims, in0_pads, In0p, C0p, fan0)
+        pl1T = pack_pl(1, in1_ids, in1_dims, in1_pads, In1p, max(V1p, _TILE), fan1)
 
     kernel = functools.partial(
-        _layer_kernel, N=N, B=B, S=S, V=V, n_radial=n_radial, K=K, C0=C0, V1=V1
+        _layer_kernel, N=N, B=B, S=S, V=V, n_radial=n_radial, K=K, C0=C0, V1=V1,
+        fuse_block=fuse_block, gate_shape=gate_shape,
     )
 
     def gspec(shape):
@@ -810,7 +916,10 @@ def packed_separable_conv_layer(
     def shared(shape):
         return pl.BlockSpec(shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM)
 
-    Cp_out = C0p + 3 * V1p
+    if fuse_block:
+        Cp_out = _pad16(gate_shape[0]) + 3 * _pad16(gate_shape[2])
+    else:
+        Cp_out = C0p + 3 * V1p
     outT = pl.pallas_call(
         kernel,
         grid=(Gp // K,),
@@ -827,7 +936,8 @@ def packed_separable_conv_layer(
             shared(b2T.shape),
             shared(pl0T.shape),
             shared(pl1T.shape),
-        ],
+        ]
+        + [shared(w.shape) for w in extra_ws],
         out_specs=gspec((Cp_out, N)),
         out_shape=jax.ShapeDtypeStruct((Gp, Cp_out, N), f32),
         interpret=interpret,
@@ -837,9 +947,22 @@ def packed_separable_conv_layer(
     )(
         nfT, ef, bf, ebsT, ebd,
         w1T, b1d.astype(f32)[:, None], b1b.astype(f32)[:, None], w2T, b2T, pl0T, pl1T,
+        *extra_ws,
     )
     if padg:
         outT = outT[:G]
+
+    if fuse_block:
+        # gate.irreps_out layout: [(Sc, 0e), (Vg, 1e)]
+        Sc, _, Vg = gate_shape
+        Scp, Vgp = _pad16(Sc), _pad16(Vg)
+        o0 = jnp.swapaxes(outT[:, 0:Sc, :], -1, -2)
+        comps = [
+            jnp.swapaxes(outT[:, Scp + c * Vgp : Scp + c * Vgp + Vg, :], -1, -2)
+            for c in range(3)
+        ]
+        o1 = jnp.stack(comps, axis=-1).reshape(G, N, 3 * Vg)
+        return jnp.concatenate([o0, o1], axis=-1)
 
     # --- reassemble packed irreps layout from the [0e | 1e(y,z,x)] sections ---
     out_parts = []
