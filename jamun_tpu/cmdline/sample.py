@@ -8,6 +8,7 @@ datasets -> Sampler with metric callbacks -> sample.
 from __future__ import annotations
 
 import argparse
+import copy
 import logging
 import os
 import pickle
@@ -107,9 +108,17 @@ def run(cfg) -> None:
         from jamun_tpu.train.distributions import ConstantSigma
         from jamun_tpu.train.state import make_train_step
 
+        # finetuning differentiates the arch — the fused Pallas kernel is
+        # forward-only, so train with a non-kernel twin sharing the params
+        if isinstance(arch_cfg, dict) and arch_cfg.get("use_pallas"):
+            ft_cfg = copy.deepcopy(model_cfg)
+            ft_cfg["arch"]["use_pallas"] = False
+            ft_denoiser = build_denoiser(ft_cfg, float(asd))
+        else:
+            ft_denoiser = denoiser
         sigma_dist = ConstantSigma(float(cfg.get("sigma", 0.04)))
         step_fn = jax.jit(
-            make_train_step(denoiser, optimizer, sigma_dist, ema_decay=float(ft.get("ema_decay", 0.999)))
+            make_train_step(ft_denoiser, optimizer, sigma_dist, ema_decay=float(ft.get("ema_decay", 0.999)))
         )
         for i in range(int(ft["num_steps"])):
             state, aux = step_fn(state, init_graphs)
