@@ -153,7 +153,9 @@ class E3Conv(nn.Module):
         if (
             self.use_pallas
             and self.pallas_variant == "packed"
+            and self.tensor_product == "uvu"
             and self.atom_axis is None
+            and batch.pos.shape[1] <= 128  # the conv kernels' VMEM N ceiling
             and not self.is_initializing()
         ):
             # lane-packed edge features (SH/adjacency/radial basis) are

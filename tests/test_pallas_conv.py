@@ -176,3 +176,26 @@ def test_checkpoint_cross_path_sampling_consistency():
     np.testing.assert_allclose(
         np.asarray(outs[True]), np.asarray(outs[False]), atol=5e-4, rtol=1e-3
     )
+
+
+def test_pallas_with_scan_layers():
+    """nn.scan over the hidden layers slices per-layer params correctly into
+    the fused kernel path."""
+    from jamun_tpu.models.e3conv import E3Conv
+
+    batch = make_test_batch(num_graphs=2, max_nodes=16, scale=0.3)
+    c_noise = jnp.asarray([jnp.log(0.04) / 4.0])
+    cutoff = jnp.asarray(1.0)
+    kwargs = dict(
+        irreps_hidden=f"{S}x0e + {V}x1e", n_layers=2, edge_attr_dim=64,
+        atom_type_embedding_dim=4, atom_code_embedding_dim=4,
+        residue_code_embedding_dim=4, residue_index_embedding_dim=4,
+        tensor_product="uvu", scan_layers=True,
+    )
+    ref = E3Conv(**kwargs, use_pallas=False)
+    pal = E3Conv(**kwargs, use_pallas=True)
+    params = jax.jit(ref.init)(jax.random.PRNGKey(0), batch, c_noise, cutoff)
+    params = jax.tree.map(lambda p: p + 0.5 if p.ndim == 0 else p, params)
+    out_ref = np.asarray(jax.jit(ref.apply)(params, batch, c_noise, cutoff))
+    out_pal = np.asarray(jax.jit(pal.apply)(params, batch, c_noise, cutoff))
+    np.testing.assert_allclose(out_pal, out_ref, atol=5e-4, rtol=1e-3)
