@@ -8,7 +8,6 @@ datasets -> Sampler with metric callbacks -> sample.
 from __future__ import annotations
 
 import argparse
-import copy
 import logging
 import os
 import pickle
@@ -88,10 +87,11 @@ def run(cfg) -> None:
             f"(no config.pkl next to {ckpt_path} and no model.average_squared_distance "
             "in the sampling config); pass average_squared_distance=<value> explicitly."
         )
-    # Sampling is forward-only, so the fused Pallas conv layer kernel
-    # (ops/pallas/packed_conv.py) is usable even for checkpoints trained on
-    # the XLA path — it is numerically parity-tested and unsupported shapes
-    # fall back automatically inside Conv. Override with use_pallas=false.
+    # Default to the fused Pallas conv kernel (ops/pallas/packed_conv.py) —
+    # numerically parity-tested against the XLA path (checkpoints trained on
+    # either path are interchangeable) and trainable via its backward kernel;
+    # unsupported shapes fall back automatically inside Conv. Override with
+    # use_pallas=false.
     arch_cfg = model_cfg.get("arch")
     if isinstance(arch_cfg, dict) and "E3Conv" in str(arch_cfg.get("_target_", "")):
         arch_cfg["use_pallas"] = bool(cfg.get("use_pallas", True))
@@ -108,17 +108,12 @@ def run(cfg) -> None:
         from jamun_tpu.train.distributions import ConstantSigma
         from jamun_tpu.train.state import make_train_step
 
-        # finetuning differentiates the arch — the fused Pallas kernel is
-        # forward-only, so train with a non-kernel twin sharing the params
-        if isinstance(arch_cfg, dict) and arch_cfg.get("use_pallas"):
-            ft_cfg = copy.deepcopy(model_cfg)
-            ft_cfg["arch"]["use_pallas"] = False
-            ft_denoiser = build_denoiser(ft_cfg, float(asd))
-        else:
-            ft_denoiser = denoiser
+        # the fused ConvBlock kernel has a hand-written backward kernel
+        # (custom VJP, grad-parity tested), so finetuning runs on the same
+        # kernel path as sampling
         sigma_dist = ConstantSigma(float(cfg.get("sigma", 0.04)))
         step_fn = jax.jit(
-            make_train_step(ft_denoiser, optimizer, sigma_dist, ema_decay=float(ft.get("ema_decay", 0.999)))
+            make_train_step(denoiser, optimizer, sigma_dist, ema_decay=float(ft.get("ema_decay", 0.999)))
         )
         for i in range(int(ft["num_steps"])):
             state, aux = step_fn(state, init_graphs)

@@ -380,7 +380,14 @@ class ConvBlock(nn.Module):
                 compute_dtype=self.dtype,
             )
         out_blocks = tuple((mi.mul, mi.ir.l) for mi in Irreps(gate.irreps_in))
-        out = packed_separable_conv_layer(
+        from jamun_tpu.ops.pallas.packed_conv import make_trainable_conv_block
+
+        # custom-VJP wrapper: forward = fused kernel, backward = the
+        # hand-written backward kernel — the block is fully trainable
+        fn = make_trainable_conv_block(
+            S, V, out_blocks, n_radial, interpret, self.dtype
+        )
+        out = fn(
             node_attr.astype(cdt),
             ef, bf, ebsT, ebd,
             rp["Dense_0"]["kernel"],
@@ -390,14 +397,7 @@ class ConvBlock(nn.Module):
             edges.bond0_embed,
             edges.bond1_embed,
             dict(cp["_post_linear"]),
-            S=S,
-            V=V,
-            out_blocks=out_blocks,
-            n_radial=n_radial,
-            interpret=interpret,
-            compute_dtype=self.dtype,
-            fuse_block=True,
-            lin2_params=dict(self.get_variable("params", "IrrepsLinear_1")),
-            skip_params=dict(self.get_variable("params", "IrrepsLinear_0")),
+            dict(self.get_variable("params", "IrrepsLinear_1")),
+            dict(self.get_variable("params", "IrrepsLinear_0")),
         )
         return out.astype(out_dtype)

@@ -980,3 +980,614 @@ def packed_separable_conv_layer(
             out_parts.append(jnp.stack(comps, axis=-1).reshape(G, N, 3 * mul))
             off1 += mul
     return jnp.concatenate(out_parts, axis=-1)
+
+
+# ===========================================================================
+# Backward kernel for the fused ConvBlock: makes the kernel path TRAINABLE.
+# Recomputes the forward intermediates from the same inputs (memory-light),
+# then walks the chain in reverse; every contraction stays an MXU matmul in
+# the transposed [C, P] layout. Weight gradients accumulate across the
+# (sequential) grid programs into shared output blocks.
+# ===========================================================================
+
+
+def _block_bwd_kernel(
+    # inputs (same as forward) ...
+    nf_ref, ef_ref, bf_ref, ebsT_ref, ebd_ref,
+    w1_ref, b1d_ref, b1b_ref, w2_ref, b2_ref, pl0_ref, pl1_ref,
+    lin20_ref, lin21_ref, sk0_ref, sk1_ref,
+    # ... plus transposes needed by the reverse contractions and the cotangent
+    w2N_ref,    # [64, Wp]  w2T transposed
+    pl0N_ref,   # [In0p, Scp+Gtp]
+    pl1N_ref,   # [In1p, Vgp]
+    lin20N_ref, # [Scp, Scp]
+    lin21N_ref, # [Vgp, Vgp]
+    sk0N_ref,   # [Sp, Scp]
+    sk1N_ref,   # [Vp|_TILE, Vgp]
+    ebs_ref,    # [K, B, N] bond-src one-hot (for the gather backward)
+    ebdT_ref,   # [K, N, B] bond-dst one-hot transposed (for the agg backward)
+    g_ref,      # [K, Scp + 3*Vgp, N] f32 cotangent
+    # outputs
+    dx_ref,     # [K, Fp, N] f32
+    dw1_ref,    # [64, nr]  f32 (accumulated over programs)
+    db1d_ref,   # [64, 1]
+    db1b_ref,   # [64, 1]
+    dw2_ref,    # [Wp, 64]
+    db2_ref,    # [Wp, 1]
+    dpl0_ref,   # [Scp+Gtp, In0p]
+    dpl1_ref,   # [Vgp, In1p]
+    dlin20_ref, # [Scp, Scp]
+    dlin21_ref, # [Vgp, Vgp]
+    dsk0_ref,   # [Scp, Sp]
+    dsk1_ref,   # [Vgp, Vp|_TILE]
+    *,
+    N: int,
+    B: int,
+    S: int,
+    V: int,
+    n_radial: int,
+    K: int,
+    gate_shape,
+):
+    f32 = jnp.float32
+    cdt = nf_ref.dtype
+    P = N * N
+    Sp, Vp = _pad16(S), _pad16(V)
+    Sc, Gt, Vg = gate_shape
+    Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
+    prec = matmul_precision(cdt)
+
+    offt = jax.lax.broadcasted_iota(jnp.int32, (P, N), 0) - jax.lax.broadcasted_iota(
+        jnp.int32, (P, N), 1
+    ) * N
+    ei = ((offt >= 0) & (offt < N)).astype(cdt)  # [P, N]
+    ejt_f, eit_f, _ = _dense_onehots(N, P, f32)
+    ejt = ejt_f.astype(cdt)       # [N, P] src gather
+    eit = eit_f.astype(cdt)       # [N, P] agg backward (block @ eit broadcasts dst)
+    # ej [P, N]: identity tiled along rows — src-gather backward (scatter-add)
+    idc = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    ).astype(cdt)
+    ej = idc if N == P else jnp.concatenate([idc] * N, axis=0)  # [P, N]
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        for r in (dw1_ref, db1d_ref, db1b_ref, dw2_ref, db2_ref, dpl0_ref,
+                  dpl1_ref, dlin20_ref, dlin21_ref, dsk0_ref, dsk1_ref):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32, precision=prec)
+
+    for k in range(K):
+        # ---------------- forward recompute (both streams) ----------------
+        def fwd_stream(feat_ref, agg_rhs, gatherT, b1_eff, L):
+            shy = feat_ref[k][0:1]
+            shz = feat_ref[k][1:2]
+            shx = feat_ref[k][2:3]
+            adj = feat_ref[k][3:4]
+            radial = feat_ref[k][EF_GEOM : EF_GEOM + n_radial]
+            h32 = mm(w1_ref[...], radial) + b1_eff[...]
+            sig = jax.nn.sigmoid(h32)
+            h = (h32 * sig).astype(cdt)
+            w_all = (mm(w2_ref[...], h) + b2_ref[...]).astype(cdt)
+            adjS = jnp.broadcast_to(adj, (Sp, L))
+            sj = mm(nf_ref[k][0:Sp], gatherT).astype(cdt) * adjS
+            sh = (jnp.broadcast_to(shy, (max(Sp, Vp), L)),
+                  jnp.broadcast_to(shz, (max(Sp, Vp), L)),
+                  jnp.broadcast_to(shx, (max(Sp, Vp), L)))
+            vj = None
+            if V > 0:
+                vj = mm(nf_ref[k][Sp : Sp + 3 * Vp], gatherT).astype(cdt) * jnp.broadcast_to(
+                    adj, (3 * Vp, L)
+                )
+            def agg(msg):
+                return mm(msg, agg_rhs)
+            w1p = w_all[0:Sp]
+            w2p = w_all[Sp : 2 * Sp]
+            blocks = [agg(w1p * sj)]
+            t2 = w2p * sj
+            blocks += [agg(t2 * sh[c][0:Sp]) for c in range(3)]
+            if V > 0:
+                vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
+                w3p = w_all[2 * Sp : 2 * Sp + Vp]
+                w4p = w_all[2 * Sp + Vp : 2 * Sp + 2 * Vp]
+                w5p = w_all[2 * Sp + 2 * Vp : 2 * Sp + 3 * Vp]
+                sy, sz, sx = sh[0][0:Vp], sh[1][0:Vp], sh[2][0:Vp]
+                dotv = vy * sy + vz * sz + vx * sx
+                blocks += [
+                    agg(w3p * vy), agg(w3p * vz), agg(w3p * vx),
+                    agg(w4p * dotv * _INV_SQRT3),
+                    agg(w5p * (vz * sx - vx * sz) * _INV_SQRT2),
+                    agg(w5p * (vx * sy - vy * sx) * _INV_SQRT2),
+                    agg(w5p * (vy * sz - vz * sy) * _INV_SQRT2),
+                ]
+            deg = agg(adj)
+            return dict(
+                radial=radial, h32=h32, sig=sig, h=h, w_all=w_all, adj=adj,
+                adjS=adjS, sj=sj, vj=vj, sh=sh, blocks=blocks, deg=deg,
+            )
+
+        Fd = fwd_stream(ef_ref, ei, ejt, b1d_ref, P)
+        Fb = fwd_stream(bf_ref, ebd_ref[k].astype(cdt), ebsT_ref[k].astype(cdt), b1b_ref, B)
+        inv_deg = 1.0 / jnp.maximum(Fd["deg"] + Fb["deg"], 1.0)
+        norm = [((bd + bb) * inv_deg).astype(cdt) for bd, bb in zip(Fd["blocks"], Fb["blocks"])]
+        if V > 0:
+            o1n, o2y, o2z, o2x, o3y, o3z, o3x, o4n, o5y, o5z, o5x = norm
+            in0 = jnp.concatenate([o1n, o4n], axis=0)
+            in1 = [jnp.concatenate([a, b, c], axis=0)
+                   for a, b, c in ((o2y, o3y, o5y), (o2z, o3z, o5z), (o2x, o3x, o5x))]
+        else:
+            in0 = norm[0]
+            in1 = [norm[1], norm[2], norm[3]]
+        conv0 = mm(pl0_ref[...], in0)                       # [Scp+Gtp, N]
+        conv1 = [mm(pl1_ref[...], in1[c]) for c in range(3)]
+        scal_pre = conv0[0:Scp]
+        scal = jax.nn.leaky_relu(scal_pre, 0.01).astype(cdt)
+        gates = jax.nn.sigmoid(conv0[Scp : Scp + Gtp])
+        gated = [(conv1[c] * gates[0:Vgp]).astype(cdt) for c in range(3)]
+
+        # ------------------------------ backward ---------------------------
+        g0 = g_ref[k][0:Scp].astype(cdt)
+        g1 = [g_ref[k][Scp + c * Vgp : Scp + (c + 1) * Vgp].astype(cdt) for c in range(3)]
+
+        # lin2 + skip
+        dlin20_ref[...] += mm(g0, scal.T if False else scal.swapaxes(0, 1))
+        d_scal = mm(lin20N_ref[...], g0).astype(cdt)
+        d_gated = []
+        for c in range(3):
+            dlin21_ref[...] += mm(g1[c], gated[c].swapaxes(0, 1))
+            d_gated.append(mm(lin21N_ref[...], g1[c]))
+        dsk0_ref[...] += mm(g0, nf_ref[k][0:Sp].swapaxes(0, 1))
+        d_x_s = mm(sk0N_ref[...], g0)  # [Sp, N] f32
+        d_x_v = []
+        if V > 0:
+            for c in range(3):
+                dsk1_ref[...] += mm(g1[c], nf_ref[k][Sp + c * Vp : Sp + (c + 1) * Vp].swapaxes(0, 1))
+                d_x_v.append(mm(sk1N_ref[...], g1[c]))
+
+        # gate backward
+        leaky_grad = jnp.where(scal_pre >= 0, 1.0, 0.01)
+        d_conv0_s = (d_scal * leaky_grad).astype(cdt)
+        sgrad = gates * (1.0 - gates)
+        d_gates = jnp.zeros((Gtp, N), f32)
+        d_conv1 = []
+        for c in range(3):
+            d_conv1.append((d_gated[c] * gates[0:Vgp]).astype(cdt))
+            d_gates += d_gated[c] * conv1[c]
+        d_conv0_g = (d_gates * sgrad).astype(cdt)
+        d_conv0 = jnp.concatenate([d_conv0_s, d_conv0_g], axis=0)  # [Scp+Gtp, N]
+
+        # post-linear backward
+        dpl0_ref[...] += mm(d_conv0, in0.swapaxes(0, 1))
+        d_in0 = mm(pl0N_ref[...], d_conv0).astype(cdt)  # [In0p, N]
+        d_in1 = []
+        for c in range(3):
+            dpl1_ref[...] += mm(d_conv1[c], in1[c].swapaxes(0, 1))
+            d_in1.append(mm(pl1N_ref[...], d_conv1[c]).astype(cdt))  # [In1p, N]
+
+        # split back into per-path normalized-block cotangents
+        if V > 0:
+            d_norm = [d_in0[0:Sp],
+                      d_in1[0][0:Sp], d_in1[1][0:Sp], d_in1[2][0:Sp],
+                      d_in1[0][Sp : Sp + Vp], d_in1[1][Sp : Sp + Vp], d_in1[2][Sp : Sp + Vp],
+                      d_in0[Sp : Sp + Vp],
+                      d_in1[0][Sp + Vp : Sp + 2 * Vp], d_in1[1][Sp + Vp : Sp + 2 * Vp],
+                      d_in1[2][Sp + Vp : Sp + 2 * Vp]]
+        else:
+            d_norm = [d_in0[0:Sp], d_in1[0][0:Sp], d_in1[1][0:Sp], d_in1[2][0:Sp]]
+        d_pre = [(dn * inv_deg).astype(cdt) for dn in d_norm]  # same for both streams
+
+        # ---------------- per-stream message/radial backward ----------------
+        def bwd_stream(F, d_blocks, agg_bwd_rhs, gather_bwd_rhs, db1_ref, L):
+            """agg_bwd_rhs: [N, L] (d_msg = d_block @ agg_bwd_rhs);
+            gather_bwd_rhs: [L, N] (d_node = d_feat @ gather_bwd_rhs)."""
+            def unagg(d_block):  # [C, N] -> [C, L]
+                return mm(d_block, agg_bwd_rhs).astype(cdt)
+
+            sj, vj, sh, w_all, adjS = F["sj"], F["vj"], F["sh"], F["w_all"], F["adjS"]
+            w1p = w_all[0:Sp]
+            w2p = w_all[Sp : 2 * Sp]
+            d_m1 = unagg(d_blocks[0])
+            d_sj = d_m1 * w1p
+            d_w1p = d_m1 * sj
+            t2_cot = jnp.zeros((Sp, L), f32)
+            for c in range(3):
+                d_m2 = unagg(d_blocks[1 + c])
+                t2_cot += d_m2 * sh[c][0:Sp]
+            d_w2p = (t2_cot * sj).astype(cdt)
+            d_sj = d_sj + t2_cot.astype(cdt) * w2p
+            dws = [d_w1p.astype(cdt), d_w2p]
+            d_vj = None
+            if V > 0:
+                vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
+                w3p = w_all[2 * Sp : 2 * Sp + Vp]
+                w4p = w_all[2 * Sp + Vp : 2 * Sp + 2 * Vp]
+                w5p = w_all[2 * Sp + 2 * Vp : 2 * Sp + 3 * Vp]
+                sy, sz, sx = sh[0][0:Vp], sh[1][0:Vp], sh[2][0:Vp]
+                d_m3 = [unagg(d_blocks[4 + c]) for c in range(3)]
+                d_m4 = unagg(d_blocks[7])
+                d_m5 = [unagg(d_blocks[8 + c]) for c in range(3)]
+                d_w3p = d_m3[0] * vy + d_m3[1] * vz + d_m3[2] * vx
+                dotv = vy * sy + vz * sz + vx * sx
+                d_w4p = d_m4 * dotv * _INV_SQRT3
+                cy = vz * sx - vx * sz
+                cz = vx * sy - vy * sx
+                cx = vy * sz - vz * sy
+                d_w5p = (d_m5[0] * cy + d_m5[1] * cz + d_m5[2] * cx) * _INV_SQRT2
+                d_vy = (d_m3[0] * w3p + d_m4 * w4p * sy * _INV_SQRT3
+                        + (d_m5[2] * sz - d_m5[1] * sx) * w5p * _INV_SQRT2)
+                d_vz = (d_m3[1] * w3p + d_m4 * w4p * sz * _INV_SQRT3
+                        + (d_m5[0] * sx - d_m5[2] * sy) * w5p * _INV_SQRT2)
+                d_vx = (d_m3[2] * w3p + d_m4 * w4p * sx * _INV_SQRT3
+                        + (d_m5[1] * sy - d_m5[0] * sz) * w5p * _INV_SQRT2)
+                d_vj = jnp.concatenate([d_vy, d_vz, d_vx], axis=0).astype(cdt)
+                dws += [d_w3p.astype(cdt), d_w4p.astype(cdt), d_w5p.astype(cdt)]
+            d_wall = jnp.concatenate(dws, axis=0)  # [Wp, L]
+
+            # radial MLP backward
+            dw2_ref[...] += mm(d_wall, F["h"].swapaxes(0, 1))
+            db2_ref[...] += jnp.sum(d_wall.astype(f32), axis=1, keepdims=True)
+            d_h = mm(w2N_ref[...], d_wall)  # [64, L] f32
+            sig = F["sig"]
+            d_h32 = (d_h * (sig + F["h32"] * sig * (1.0 - sig))).astype(cdt)
+            dw1_ref[...] += mm(d_h32, F["radial"].swapaxes(0, 1))
+            db1_ref[...] += jnp.sum(d_h32.astype(f32), axis=1, keepdims=True)
+
+            # gather backward: adjacency was folded into sj/vj
+            d_s_nodes = mm((d_sj * adjS).astype(cdt), gather_bwd_rhs)  # [Sp, N]
+            d_v_nodes = None
+            if V > 0:
+                d_v_nodes = mm(
+                    (d_vj * jnp.broadcast_to(F["adj"], (3 * Vp, L))).astype(cdt),
+                    gather_bwd_rhs,
+                )
+            return d_s_nodes, d_v_nodes
+
+        ds_d, dv_d = bwd_stream(Fd, d_pre, eit, ej, db1d_ref, P)
+        ds_b, dv_b = bwd_stream(
+            Fb, d_pre, ebdT_ref[k].astype(cdt), ebs_ref[k].astype(cdt), db1b_ref, B
+        )
+
+        dx_s = d_x_s + ds_d + ds_b
+        if V > 0:
+            dxv = jnp.concatenate(
+                [d_x_v[c] for c in range(3)], axis=0
+            ) + dv_d + dv_b  # [3Vp, N]
+            dx_ref[k] = jnp.concatenate([dx_s, dxv], axis=0)
+        else:
+            dx_ref[k] = dx_s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "V", "out_blocks", "n_radial", "interpret", "compute_dtype", "graphs_per_program"
+    ),
+)
+def packed_conv_block_bwd(
+    g: jnp.ndarray,          # [G, N, Sc + 3*Vg] cotangent of the block output
+    x: jnp.ndarray,
+    ef: jnp.ndarray,
+    bf: jnp.ndarray,
+    ebsT: jnp.ndarray,
+    ebd: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    bond0: jnp.ndarray,
+    bond1: jnp.ndarray,
+    pl_params,
+    lin2_params,
+    skip_params,
+    S: int,
+    V: int,
+    out_blocks,
+    n_radial: int = 32,
+    interpret: bool = False,
+    compute_dtype=None,
+    graphs_per_program: int = 8,
+):
+    """Backward of the fused ConvBlock. Returns grads for
+    (x, w1, b1, w2, b2, bond0, bond1, pl_params, lin2_params, skip_params)
+    in their ORIGINAL layouts."""
+    G, N, _ = x.shape
+    B = ebd.shape[1]
+    f32 = jnp.float32
+    cdt = compute_dtype or jnp.float32
+    Sp, Vp = _pad16(S), _pad16(V)
+    EFR = _ef_rows(n_radial)
+    Sc, Gt, Vg = out_blocks[0][0], out_blocks[1][0], out_blocks[2][0]
+    Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
+
+    K = max(1, min(graphs_per_program, G))
+    Gp = ((G + K - 1) // K) * K
+    padg = Gp - G
+    if padg:
+        def padg_fn(a):
+            return jnp.concatenate([a, jnp.zeros((padg,) + a.shape[1:], a.dtype)], axis=0)
+
+        x, ef, bf, ebsT, ebd, g = map(padg_fn, (x, ef, bf, ebsT, ebd, g))
+
+    # --- transposed inputs (same prep as the forward wrapper) ---
+    sT = jnp.swapaxes(x[..., :S], -1, -2).astype(cdt)
+    parts = [sT]
+    if Sp != S:
+        parts.append(jnp.zeros((Gp, Sp - S, N), cdt))
+    if V > 0:
+        v = x[..., S:].reshape(Gp, N, V, 3).astype(cdt)
+        for c in range(3):
+            parts.append(jnp.swapaxes(v[..., c], -1, -2))
+            if Vp != V:
+                parts.append(jnp.zeros((Gp, Vp - V, N), cdt))
+    nfT = jnp.concatenate(parts, axis=1)
+
+    # cotangent in transposed slot layout [Scp | Vg x3]
+    gT0 = jnp.swapaxes(g[..., :Sc], -1, -2).astype(f32)
+    gparts = [gT0]
+    if Scp != Sc:
+        gparts.append(jnp.zeros((Gp, Scp - Sc, N), f32))
+    if Vg > 0:
+        gv = g[..., Sc:].reshape(Gp, N, Vg, 3)
+        for c in range(3):
+            gparts.append(jnp.swapaxes(gv[..., c], -1, -2).astype(f32))
+            if Vgp != Vg:
+                gparts.append(jnp.zeros((Gp, Vgp - Vg, N), f32))
+    gT = jnp.concatenate(gparts, axis=1)  # [Gp, Scp + 3Vgp, N]
+
+    nb = w1.shape[0] - n_radial
+    hiP = jax.lax.Precision.HIGHEST
+    b1d = b1 + jnp.einsum("i,ij->j", bond0.astype(f32), w1[:nb].astype(f32), precision=hiP)
+    b1b = b1 + jnp.einsum("i,ij->j", bond1.astype(f32), w1[:nb].astype(f32), precision=hiP)
+    w1T = w1[nb:].T.astype(cdt)
+    path_dims = (S, S, V, V, V) if V > 0 else (S, S)
+    pad_dims = (Sp, Sp, Vp, Vp, Vp) if V > 0 else (Sp, Sp)
+    w2_rows, b2_rows = [], []
+    off = 0
+    for C, Cp in zip(path_dims, pad_dims):
+        w2_rows.append(w2[:, off : off + C].T.astype(cdt))
+        b2_rows.append(b2[off : off + C].astype(f32)[:, None])
+        if Cp != C:
+            w2_rows.append(jnp.zeros((Cp - C, 64), cdt))
+            b2_rows.append(jnp.zeros((Cp - C, 1), f32))
+        off += C
+    w2T = jnp.concatenate(w2_rows, axis=0)
+    b2T = jnp.concatenate(b2_rows, axis=0)
+
+    in0_ids = (0, 3) if V > 0 else (0,)
+    in1_ids = (1, 2, 4) if V > 0 else (1,)
+    in0_dims = (S, V) if V > 0 else (S,)
+    in1_dims = (S, V, V) if V > 0 else (S,)
+    in0_pads = (Sp, Vp) if V > 0 else (Sp,)
+    in1_pads = (Sp, Vp, Vp) if V > 0 else (Sp,)
+    In0p, In1p = sum(in0_pads), sum(in1_pads)
+    fan0 = sum(in0_dims)
+    fan1 = sum(in1_dims)
+
+    def pack_block(params, name, mul, Cp_rows, ids, dims, pads, fan):
+        cols = []
+        for i_in, d, pd in zip(ids, dims, pads):
+            w = params[name(i_in)]
+            wT = w.T.astype(cdt) / math.sqrt(max(fan, 1))
+            if pd != d:
+                wT = jnp.concatenate([wT, jnp.zeros((mul, pd - d), cdt)], axis=1)
+            cols.append(wT)
+        m = jnp.concatenate(cols, axis=1)
+        if Cp_rows != mul:
+            m = jnp.concatenate([m, jnp.zeros((Cp_rows - mul, m.shape[1]), cdt)], axis=0)
+        return m
+
+    pl0T = jnp.concatenate(
+        [
+            pack_block(pl_params, lambda i: f"w_{i}_0", Sc, Scp, in0_ids, in0_dims, in0_pads, fan0),
+            pack_block(pl_params, lambda i: f"w_{i}_1", Gt, Gtp, in0_ids, in0_dims, in0_pads, fan0),
+        ],
+        axis=0,
+    )
+    pl1T = pack_block(pl_params, lambda i: f"w_{i}_2", Vg, Vgp, in1_ids, in1_dims, in1_pads, fan1)
+
+    def pad2(m, rows, cols):
+        if m.shape[0] != rows:
+            m = jnp.concatenate([m, jnp.zeros((rows - m.shape[0], m.shape[1]), m.dtype)], axis=0)
+        if m.shape[1] != cols:
+            m = jnp.concatenate([m, jnp.zeros((m.shape[0], cols - m.shape[1]), m.dtype)], axis=1)
+        return m
+
+    lin20T = pad2(lin2_params["w_0_0"].T.astype(cdt) / math.sqrt(Sc), Scp, Scp)
+    lin21T = pad2(lin2_params["w_1_1"].T.astype(cdt) / math.sqrt(Vg), Vgp, Vgp)
+    sk0T = pad2(skip_params["w_0_0"].T.astype(cdt) / math.sqrt(max(S, 1)), Scp, Sp)
+    if V > 0:
+        sk1T = pad2(skip_params["w_1_1"].T.astype(cdt) / math.sqrt(V), Vgp, Vp)
+    else:
+        sk1T = jnp.zeros((Vgp, _TILE), cdt)
+
+    # transposes for the reverse contractions
+    w2N = jnp.swapaxes(w2T, 0, 1)
+    pl0N = jnp.swapaxes(pl0T, 0, 1)
+    pl1N = jnp.swapaxes(pl1T, 0, 1)
+    lin20N = jnp.swapaxes(lin20T, 0, 1)
+    lin21N = jnp.swapaxes(lin21T, 0, 1)
+    sk0N = jnp.swapaxes(sk0T, 0, 1)
+    sk1N = jnp.swapaxes(sk1T, 0, 1)
+    ebs = jnp.swapaxes(ebsT, -1, -2)
+    ebdT = jnp.swapaxes(ebd, -1, -2)
+
+    kernel = functools.partial(
+        _block_bwd_kernel, N=N, B=B, S=S, V=V, n_radial=n_radial, K=K,
+        gate_shape=(Sc, Gt, Vg),
+    )
+
+    def gspec(shape):
+        return pl.BlockSpec((K,) + shape, lambda gi: (gi,) + (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    def shared(shape):
+        return pl.BlockSpec(shape, lambda gi: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    Wp = w2T.shape[0]
+    out_shapes = (
+        jax.ShapeDtypeStruct((Gp, nfT.shape[1], N), f32),   # dx
+        jax.ShapeDtypeStruct((64, n_radial), f32),           # dw1T
+        jax.ShapeDtypeStruct((64, 1), f32),                  # db1d
+        jax.ShapeDtypeStruct((64, 1), f32),                  # db1b
+        jax.ShapeDtypeStruct((Wp, 64), f32),                 # dw2T
+        jax.ShapeDtypeStruct((Wp, 1), f32),                  # db2T
+        jax.ShapeDtypeStruct((Scp + Gtp, In0p), f32),        # dpl0T
+        jax.ShapeDtypeStruct((Vgp, In1p), f32),              # dpl1T
+        jax.ShapeDtypeStruct((Scp, Scp), f32),               # dlin20T
+        jax.ShapeDtypeStruct((Vgp, Vgp), f32),               # dlin21T
+        jax.ShapeDtypeStruct((Scp, Sp), f32),                # dsk0T
+        jax.ShapeDtypeStruct(sk1T.shape, f32),               # dsk1T
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Gp // K,),
+        in_specs=[
+            gspec((nfT.shape[1], N)),
+            gspec((EFR, N * N)),
+            gspec((EFR, B)),
+            gspec((N, B)),
+            gspec((B, N)),
+            shared(w1T.shape),
+            shared((64, 1)),
+            shared((64, 1)),
+            shared(w2T.shape),
+            shared(b2T.shape),
+            shared(pl0T.shape),
+            shared(pl1T.shape),
+            shared(lin20T.shape),
+            shared(lin21T.shape),
+            shared(sk0T.shape),
+            shared(sk1T.shape),
+            shared(w2N.shape),
+            shared(pl0N.shape),
+            shared(pl1N.shape),
+            shared(lin20N.shape),
+            shared(lin21N.shape),
+            shared(sk0N.shape),
+            shared(sk1N.shape),
+            gspec((B, N)),
+            gspec((N, B)),
+            gspec((gT.shape[1], N)),
+        ],
+        out_specs=(gspec((nfT.shape[1], N)),) + tuple(shared(s.shape) for s in out_shapes[1:]),
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(
+        nfT, ef, bf, ebsT, ebd,
+        w1T, b1d.astype(f32)[:, None], b1b.astype(f32)[:, None], w2T, b2T, pl0T, pl1T,
+        lin20T, lin21T, sk0T, sk1T,
+        w2N, pl0N, pl1N, lin20N, lin21N, sk0N, sk1N,
+        ebs, ebdT, gT,
+    )
+    (dxT, dw1T, db1d, db1b, dw2T, db2T, dpl0T, dpl1T,
+     dlin20T, dlin21T, dsk0T, dsk1T) = outs
+    if padg:
+        dxT = dxT[:G]
+
+    # --- unmap to original layouts ---
+    dx_s = jnp.swapaxes(dxT[:, 0:S, :], -1, -2)
+    if V > 0:
+        comps = [jnp.swapaxes(dxT[:, Sp + c * Vp : Sp + c * Vp + V, :], -1, -2) for c in range(3)]
+        dx_v = jnp.stack(comps, axis=-1).reshape(G, N, 3 * V)
+        dx = jnp.concatenate([dx_s, dx_v], axis=-1).astype(x.dtype)
+    else:
+        dx = dx_s.astype(x.dtype)
+
+    db1d_v = db1d[:, 0]
+    db1b_v = db1b[:, 0]
+    db1 = db1d_v + db1b_v
+    dbond0 = (w1[:nb].astype(f32) @ db1d_v).astype(bond0.dtype)
+    dbond1 = (w1[:nb].astype(f32) @ db1b_v).astype(bond1.dtype)
+    dw1 = jnp.concatenate(
+        [
+            jnp.outer(bond0.astype(f32), db1d_v) + jnp.outer(bond1.astype(f32), db1b_v),
+            jnp.swapaxes(dw1T, 0, 1),
+        ],
+        axis=0,
+    ).astype(w1.dtype)
+
+    dw2_cols, db2_parts = [], []
+    off = 0
+    for C, Cp in zip(path_dims, pad_dims):
+        dw2_cols.append(jnp.swapaxes(dw2T[off : off + C], 0, 1))
+        db2_parts.append(db2T[off : off + C, 0])
+        off += Cp
+    dw2 = jnp.concatenate(dw2_cols, axis=1).astype(w2.dtype)
+    db2 = jnp.concatenate(db2_parts, axis=0).astype(b2.dtype)
+
+    def unpack_block(dm, mul, ids, dims, pads, fan, name):
+        grads = {}
+        co = 0
+        for i_in, d, pd in zip(ids, dims, pads):
+            grads[name(i_in)] = (
+                jnp.swapaxes(dm[0:mul, co : co + d], 0, 1) / math.sqrt(max(fan, 1))
+            )
+            co += pd
+        return grads
+
+    dpl = {}
+    dpl.update(unpack_block(dpl0T[0:Scp], Sc, in0_ids, in0_dims, in0_pads, fan0, lambda i: f"w_{i}_0"))
+    dpl.update(unpack_block(dpl0T[Scp:], Gt, in0_ids, in0_dims, in0_pads, fan0, lambda i: f"w_{i}_1"))
+    dpl.update(unpack_block(dpl1T, Vg, in1_ids, in1_dims, in1_pads, fan1, lambda i: f"w_{i}_2"))
+    dpl = {k2: v2.astype(pl_params[k2].dtype) for k2, v2 in dpl.items()}
+
+    dlin2 = {
+        "w_0_0": (jnp.swapaxes(dlin20T[0:Sc, 0:Sc], 0, 1) / math.sqrt(Sc)).astype(
+            lin2_params["w_0_0"].dtype
+        ),
+        "w_1_1": (jnp.swapaxes(dlin21T[0:Vg, 0:Vg], 0, 1) / math.sqrt(Vg)).astype(
+            lin2_params["w_1_1"].dtype
+        ),
+    }
+    dskip = {
+        "w_0_0": (jnp.swapaxes(dsk0T[0:Sc, 0:S], 0, 1) / math.sqrt(max(S, 1))).astype(
+            skip_params["w_0_0"].dtype
+        ),
+    }
+    if V > 0:
+        dskip["w_1_1"] = (jnp.swapaxes(dsk1T[0:Vg, 0:V], 0, 1) / math.sqrt(V)).astype(
+            skip_params["w_1_1"].dtype
+        )
+    return dx, dw1, db1.astype(b1.dtype), dw2, db2, dbond0, dbond1, dpl, dlin2, dskip
+
+
+@functools.lru_cache(maxsize=64)
+def make_trainable_conv_block(S, V, out_blocks, n_radial, interpret, compute_dtype):
+    """A custom-VJP wrapper of the fused ConvBlock: forward = fused kernel,
+    backward = the hand-written backward kernel (`_block_bwd_kernel`)."""
+
+    kw = dict(
+        S=S, V=V, out_blocks=out_blocks, n_radial=n_radial,
+        interpret=interpret, compute_dtype=compute_dtype,
+    )
+
+    @jax.custom_vjp
+    def f(x, ef, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp, l2p, skp):
+        return packed_separable_conv_layer(
+            x, ef, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp,
+            fuse_block=True, lin2_params=l2p, skip_params=skp, **kw,
+        )
+
+    def f_fwd(*args):
+        return f(*args), args
+
+    def f_bwd(res, g):
+        (x, ef, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp, l2p, skp) = res
+        dx, dw1, db1, dw2, db2, dbond0, dbond1, dpl, dlin2, dskip = packed_conv_block_bwd(
+            g, x, ef, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp, l2p, skp, **kw
+        )
+        zeros = lambda a: jax.tree.map(jnp.zeros_like, a)
+        # geometry/edge features carry no parameter dependence (dL/dy is not
+        # required for training; see models/denoiser.py)
+        return (dx, zeros(ef), zeros(bf), zeros(ebsT), zeros(ebd),
+                dw1, db1, dw2, db2, dbond0, dbond1, dpl, dlin2, dskip)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
