@@ -1135,7 +1135,7 @@ def _block_bwd_kernel(
         g1 = [g_ref[k][Scp + c * Vgp : Scp + (c + 1) * Vgp].astype(cdt) for c in range(3)]
 
         # lin2 + skip
-        dlin20_ref[...] += mm(g0, scal.T if False else scal.swapaxes(0, 1))
+        dlin20_ref[...] += mm(g0, scal.swapaxes(0, 1))
         d_scal = mm(lin20N_ref[...], g0).astype(cdt)
         d_gated = []
         for c in range(3):
