@@ -36,8 +36,21 @@ radial MLP 64 -> 64 -> (2S + 3V) with the bondedness-0 embedding folded into
 the first-layer bias. Output block order matches
 `jamun_tpu.ops.tensor_product.depthwise_tp`: [Sx0e, Sx1e, Vx1e, Vx0e, Vx1e].
 
+Contents (growing top to bottom across round 2):
+  - `packed_uvu_conv_dense`: dtp-message kernel (kept for non-canonical
+    shapes and as the parity baseline).
+  - `packed_edge_features`: per-forward SH/adjacency/radial-basis precompute
+    shared by every conv layer (dense pairs + bonded edges).
+  - `packed_separable_conv_layer`: the COMPLETE layer in one kernel — conv +
+    bonds + mean aggregation + post-linear, and with `fuse_block` the whole
+    ConvBlock (gate + second linear + linear skip).
+  - `_block_bwd_kernel` / `packed_conv_block_bwd` /
+    `make_trainable_conv_block`: hand-written backward kernel + custom VJP —
+    the kernel path is fully trainable (grad parity < 1e-6 vs XLA autodiff).
+
 Reference role: the e3nn CUDA-codegen tensor-product kernels used by
-`/root/reference/src/jamun/e3tools/nn/_conv.py:93-117`.
+`/root/reference/src/jamun/e3tools/nn/_conv.py:93-117` — with `fuse_block`,
+the entire `ConvBlock` (`nn/_conv.py:147-223`).
 """
 
 from __future__ import annotations
@@ -53,7 +66,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jamun_tpu.ops.precision import matmul_precision
 
-__all__ = ["packed_uvu_conv_dense", "supports_packed_conv"]
+__all__ = [
+    "packed_uvu_conv_dense",
+    "supports_packed_conv",
+    "packed_edge_features",
+    "packed_separable_conv_layer",
+    "packed_conv_block_bwd",
+    "make_trainable_conv_block",
+]
 
 _SQRT3 = math.sqrt(3.0)
 _INV_SQRT3 = 1.0 / math.sqrt(3.0)
