@@ -27,6 +27,9 @@ def matmul_precision(dtype):
     Returns DEFAULT (single-pass) for 16-bit float dtypes, None (inherit the
     global setting — "highest" under setup_jax) for everything else.
     """
-    if dtype in (jnp.bfloat16, jnp.float16):
+    if dtype is None:
+        return None
+    # accept dtype objects AND config strings like "bfloat16"
+    if jnp.dtype(dtype) in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)):
         return jax.lax.Precision.DEFAULT
     return None
