@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import logging
 from typing import Any, Dict, List
 
@@ -23,7 +24,42 @@ from jamun_tpu.metrics.divergences import histogram_jsd_2d, jensen_shannon_diver
 
 log = logging.getLogger("jamun_tpu")
 
-__all__ = ["featurize_torsions", "pmf_1d", "analyze_trajectories"]
+__all__ = [
+    "featurize_torsions",
+    "pmf_1d",
+    "analyze_trajectories",
+    "subset_reference_trajectory",
+    "autocovariance",
+]
+
+
+def subset_reference_trajectory(
+    pred_pos: np.ndarray,
+    ref_pos: np.ndarray,
+    pred_seconds_per_sample: float,
+    ref_seconds_per_sample: float,
+    base_factor: float = 1.0,
+) -> np.ndarray:
+    """Truncate the reference-MD ensemble to `base_factor` x the sampled
+    trajectory's *wall-clock* budget — the paper's speed-matched comparison
+    (reference `analysis/run_analysis.py:130-143`): rerunning the analysis
+    with this subset as the "trajectory" answers "what would MD have produced
+    in the same sampling time?"."""
+    pred_time = pred_seconds_per_sample * len(pred_pos)
+    ref_time = ref_seconds_per_sample * len(ref_pos)
+    factor = min(pred_time / ref_time, 1.0) * base_factor
+    return ref_pos[: int(factor * len(ref_pos))]
+
+
+def autocovariance(x: np.ndarray, nlag: int = 1000) -> np.ndarray:
+    """Adjusted (unbiased), non-demeaned autocovariance of a 1-D series —
+    the statsmodels `acovf(x, nlag=..., adjusted=True, demean=False)` the
+    reference applies to the TICA-0 projection
+    (`analysis/utils.py:304-310`)."""
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    nlag = min(nlag, n - 1)
+    return np.array([np.dot(x[: n - k], x[k:]) / (n - k) for k in range(nlag + 1)])
 
 
 def featurize_torsions(topology: Topology, pos: np.ndarray) -> np.ndarray:
@@ -113,6 +149,13 @@ def analyze_trajectories(
         np.add.at(probs_pred, discretize(t_pred), 1.0)
         result["msm_state_jsd"] = jensen_shannon_divergence(probs_pred, probs_ref)
         result["msm_stationary"] = msm_ref.stationary_distribution_.tolist()
+
+        # autocorrelation of the slowest TICA coordinate (reference
+        # `analysis/utils.py:304-310` via statsmodels acovf)
+        result["autocorrelation"] = {
+            "pred": autocovariance(t_pred[:, 0]).tolist(),
+            "ref": autocovariance(t_ref[:, 0]).tolist(),
+        }
     except (ValueError, np.linalg.LinAlgError) as e:
         log.warning("TICA/MSM stage skipped: %s", e)
     return result
@@ -128,6 +171,18 @@ def main(argv=None):
     parser.add_argument("--ref", required=True, help=".dcd/.npy/.npz reference trajectory")
     parser.add_argument("--out", default="analysis_result.json")
     parser.add_argument("--tica-lag", type=int, default=1000)
+    # speed-matched comparison (reference `run_analysis.py:283-296`): when
+    # both rates are resolvable, the analysis is rerun with the reference
+    # ensemble truncated to the sampled trajectory's wall-clock budget and
+    # saved with a `_benchmark` suffix. Rates come either from sampling-times
+    # CSVs (the sample CLI writes ours) or direct values.
+    parser.add_argument("--sampling-times-csv", default=None,
+                        help="CSV written by the sample CLI (label,time_per_sample_seconds)")
+    parser.add_argument("--label", default=None, help="predicted-trajectory label in the CSV")
+    parser.add_argument("--ref-sampling-times-csv", default=None)
+    parser.add_argument("--ref-label", default=None)
+    parser.add_argument("--pred-seconds-per-sample", type=float, default=None)
+    parser.add_argument("--ref-seconds-per-sample", type=float, default=None)
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -146,9 +201,35 @@ def main(argv=None):
     if ref.shape[1] == top_full.n_atoms:
         ref = ref[:, heavy]
     result = analyze_trajectories(top, pred, ref, tica_lag=args.tica_lag)
-    with open(args.out, "w") as f:
-        json.dump({k: v for k, v in result.items() if not isinstance(v, np.ndarray)}, f, indent=2, default=float)
-    log.info("wrote %s", args.out)
+
+    def save(res, path):
+        with open(path, "w") as f:
+            json.dump({k: v for k, v in res.items() if not isinstance(v, np.ndarray)}, f, indent=2, default=float)
+        log.info("wrote %s", path)
+
+    save(result, args.out)
+
+    pred_rate, ref_rate = args.pred_seconds_per_sample, args.ref_seconds_per_sample
+    if pred_rate is None and args.sampling_times_csv and args.label:
+        from jamun_tpu.analysis.load_trajectory import get_sampling_rate
+
+        pred_rate = get_sampling_rate(args.sampling_times_csv, args.label)
+    if ref_rate is None and args.ref_sampling_times_csv and args.ref_label:
+        from jamun_tpu.analysis.load_trajectory import get_sampling_rate
+
+        ref_rate = get_sampling_rate(args.ref_sampling_times_csv, args.ref_label)
+
+    if pred_rate is not None and ref_rate is not None:
+        log.info("speed-matched rerun: pred %.3g s/sample vs ref %.3g s/sample", pred_rate, ref_rate)
+        ref_subset = subset_reference_trajectory(pred, ref, pred_rate, ref_rate)
+        bench = analyze_trajectories(top, ref_subset, ref, tica_lag=args.tica_lag)
+        bench["speed_matched"] = {
+            "pred_seconds_per_sample": pred_rate,
+            "ref_seconds_per_sample": ref_rate,
+            "ref_subset_frames": len(ref_subset),
+        }
+        base, ext = os.path.splitext(args.out)
+        save(bench, f"{base}_benchmark{ext or '.json'}")
 
 
 if __name__ == "__main__":

@@ -90,11 +90,14 @@ def run(cfg) -> None:
     # Default to the fused Pallas conv kernel (ops/pallas/packed_conv.py) —
     # numerically parity-tested against the XLA path (checkpoints trained on
     # either path are interchangeable) and trainable via its backward kernel;
-    # unsupported shapes fall back automatically inside Conv. Override with
-    # use_pallas=false.
+    # unsupported shapes fall back automatically inside Conv. Only default it
+    # ON for TPU backends: elsewhere Pallas would run in interpret mode,
+    # orders of magnitude slower than the XLA fast path. Override with
+    # use_pallas=true/false.
     arch_cfg = model_cfg.get("arch")
     if isinstance(arch_cfg, dict) and "E3Conv" in str(arch_cfg.get("_target_", "")):
-        arch_cfg["use_pallas"] = bool(cfg.get("use_pallas", True))
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        arch_cfg["use_pallas"] = bool(cfg.get("use_pallas", on_tpu))
 
     denoiser = build_denoiser(model_cfg, float(asd))
     optimizer = build_optimizer(model_cfg)

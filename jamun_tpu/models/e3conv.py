@@ -150,12 +150,18 @@ class E3Conv(nn.Module):
             src_mask=src_mask,
             dst_index=dst_index,
         )
+        # gate the precompute on the same backend-aware shape bounds the conv
+        # kernels enforce (S/V from the hidden layers, which consume it), so
+        # it is never dead work when Conv would fall back to the XLA path
+        _hsv = (irreps_hidden[0].mul, irreps_hidden[1].mul if len(irreps_hidden) > 1 else 0)
+        from jamun_tpu.ops.pallas.packed_conv import packed_shape_bounds_ok
+
         if (
             self.use_pallas
             and self.pallas_variant == "packed"
             and self.tensor_product == "uvu"
             and self.atom_axis is None
-            and batch.pos.shape[1] <= 128  # the conv kernels' VMEM N ceiling
+            and packed_shape_bounds_ok(batch.pos.shape[1], _hsv[0], _hsv[1])
             and not self.is_initializing()
         ):
             # lane-packed edge features (SH/adjacency/radial basis) are

@@ -98,19 +98,16 @@ class Conv(nn.Module):
             from jamun_tpu.ops.pallas.fused_conv import supports_fused_conv as supports
 
         shapes_ok = self.radial_hidden is None or list(self.radial_hidden) == [self.edge_attr_dim]
-        # the remote Mosaic compiler handles large tiles well but its layout
-        # solver can take pathologically long on tiny sub-tile shapes; restrict
-        # the compiled TPU path to well-shaped sizes (interpret mode is exempt).
-        # NOTE: tunneled TPU backends may report a platform name other than
-        # "tpu" (e.g. "axon").
-        if jax.default_backend() in ("tpu", "axon"):
+        # backend-aware shape bounds (shared with the E3Conv edge-feature
+        # precompute gate): measured viable from 2AA scale (N=24) up to the
+        # N=128 VMEM ceiling; larger molecules take the XLA fast path or the
+        # atom-sharded mesh mode (parallel/atom_sharded.py).
+        if self.pallas_variant == "packed":
+            from jamun_tpu.ops.pallas.packed_conv import packed_shape_bounds_ok
+
+            shapes_ok = shapes_ok and packed_shape_bounds_ok(node_attr.shape[1], S, V)
+        elif jax.default_backend() in ("tpu", "axon"):
             N = node_attr.shape[1]
-            # measured viable from 2AA scale up (N=24, G=256: kernel 0.0212
-            # ms/sample vs fast path 0.0253, compiling in 16 s vs 837 s).
-            # upper bound: the kernel holds ~a dozen [C, N^2] VMEM arrays; at
-            # N = 128 that is ~50 MB (fits), at N = 192 it exceeds the scoped
-            # VMEM stack. Larger molecules take the XLA fast path or the
-            # atom-sharded mesh mode (parallel/atom_sharded.py).
             shapes_ok = shapes_ok and 16 <= N <= 128 and S >= 32 and (V == 0 or V >= 16)
         return (
             self.use_pallas

@@ -90,6 +90,20 @@ def supports_packed_conv(S: int, V: int, sh_dim: int, attr_dim: int, radial_hidd
     return sh_dim == 4 and attr_dim == 64 and radial_hidden == 64 and S > 0 and V >= 0
 
 
+def packed_shape_bounds_ok(N: int, S: int, V: int) -> bool:
+    """Backend-aware shape bounds for the compiled TPU kernels (shared by
+    Conv._pallas_supported and the E3Conv edge-feature precompute gate).
+
+    The remote Mosaic compiler handles large tiles well but its layout solver
+    can take pathologically long on tiny sub-tile shapes; the compiled path is
+    restricted to well-shaped sizes. Upper bound: the kernel holds ~a dozen
+    [C, N^2] VMEM arrays — fits at N=128, exceeds the scoped VMEM stack at
+    N=192. Interpret mode (non-TPU backends) is exempt."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return 16 <= N <= 128 and S >= 32 and (V == 0 or V >= 16)
+    return True
+
+
 def _kernel(
     nf_ref,     # [K, Fp, N]  cdt: rows [s (Sp) | vy (Vp) | vz | vx]
     posm_ref,   # [K, 8, N]   f32: rows x, y, z, mask, 0...
@@ -508,7 +522,50 @@ def packed_edge_features(
 ):
     """Per-forward edge features for the fused conv layers.
 
+    NON-DIFFERENTIABLE w.r.t. positions: the fused ConvBlock VJP does not
+    propagate gradients through edge geometry, so differentiating through
+    this function raises instead of silently returning zeros (forces /
+    score-by-autodiff must use the XLA path, use_pallas=False).
+
     Returns (ef [G, EFR, P], bf [G, EFR, B], ebsT [G, N, B], ebd [G, B, N])."""
+    impl = functools.partial(
+        _packed_edge_features_impl,
+        n_radial=n_radial,
+        interpret=interpret,
+        compute_dtype=compute_dtype,
+        graphs_per_program=graphs_per_program,
+    )
+
+    @jax.custom_vjp
+    def f(pos, node_mask, bond_src, bond_dst, bond_mask, cutoff):
+        return impl(pos, node_mask, bond_src, bond_dst, bond_mask, cutoff)
+
+    def f_fwd(*args):
+        return f(*args), None
+
+    def f_bwd(_, g):
+        raise NotImplementedError(
+            "packed_edge_features is non-differentiable w.r.t. positions: the "
+            "fused ConvBlock kernel's VJP drops the edge-geometry dependence. "
+            "Use the XLA path (use_pallas=False) for position gradients."
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(pos, node_mask, bond_src, bond_dst, bond_mask, cutoff)
+
+
+def _packed_edge_features_impl(
+    pos: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    bond_src: jnp.ndarray,
+    bond_dst: jnp.ndarray,
+    bond_mask: jnp.ndarray,
+    cutoff: jnp.ndarray,
+    n_radial: int = 32,
+    interpret: bool = False,
+    compute_dtype=None,
+    graphs_per_program: int = 8,
+):
     G, N, _ = pos.shape
     B = bond_src.shape[1]
     f32 = jnp.float32

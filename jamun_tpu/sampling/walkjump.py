@@ -85,7 +85,9 @@ class SingleMeasurementSampler:
 
         Frames land on the same absolute save grid as the single-scan walk
         (chunk-initial frames that duplicate the previous chunk's last save
-        are dropped)."""
+        are dropped). Note: the per-chunk key split draws a different random
+        realization than the unchunked walk, so chunked and unchunked runs
+        agree in distribution and save grid but are not bitwise identical."""
         cfg = self.mcmc.config
         C = self.offload_chunk_steps
         total = max(cfg.steps - 1, 0)
@@ -108,8 +110,9 @@ class SingleMeasurementSampler:
             )
 
         main = sub(C)
+        first_v_init = v_init if isinstance(v_init, str) else "gaussian"
         fn_first = jax.jit(
-            lambda p, y, k: main.walk_jump(denoiser, p, init_graphs, k, y, "gaussian")
+            lambda p, y, k: main.walk_jump(denoiser, p, init_graphs, k, y, first_v_init)
         )
         fn_cont = jax.jit(
             lambda p, y, v, k: main.walk_jump(denoiser, p, init_graphs, k, y, v)

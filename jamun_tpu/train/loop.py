@@ -72,6 +72,14 @@ class Trainer:
         mesh = make_mesh(cfg.num_devices)
         n_dev = mesh.devices.size
 
+        if getattr(datamodule, "streaming", False) and not cfg.max_steps:
+            # streaming batches are epoch-less (`data/datamodule.py:_iter_batches`
+            # yields forever), so a max_epochs-only budget would hang in epoch 0
+            raise ValueError(
+                "streaming datamodules are epoch-less: set trainer.max_steps "
+                "(max_epochs alone never terminates a streaming epoch)"
+            )
+
         example = next(iter(datamodule.train_batches(0)))
         state = create_train_state(denoiser, optimizer, example, seed=cfg.seed)
         if resume_from:
@@ -110,19 +118,19 @@ class Trainer:
                     metrics["epoch"] = epoch
                     self.logger.log_metrics(metrics, step)
                 if cfg.val_every_n_steps and step % cfg.val_every_n_steps == 0:
-                    stop = self._validate(state, eval_step, datamodule, step) or stop
+                    stop = self._validate(state, eval_step, datamodule, step, mesh) or stop
                 if cfg.max_steps and step >= cfg.max_steps:
                     stop = True
                 if stop:
                     break
             if not cfg.val_every_n_steps:
-                stop = self._validate(state, eval_step, datamodule, step) or stop
+                stop = self._validate(state, eval_step, datamodule, step, mesh) or stop
             if self.diagnostics:
                 self.diagnostics.flush(epoch)
         self.logger.finalize()
         return jax.device_get(state)
 
-    def _validate(self, state, eval_step, datamodule, step: int) -> bool:
+    def _validate(self, state, eval_step, datamodule, step: int, mesh) -> bool:
         """Returns True if training should stop (non-finite loss)."""
         cfg = self.config
         totals: Dict[str, float] = {}
@@ -132,6 +140,10 @@ class Trainer:
             if i >= cfg.val_max_batches:
                 break
             key, sub = jax.random.split(key)
+            # validation batches ride the same mesh sharding as train batches;
+            # host-placed batches against mesh-replicated state would migrate
+            # (or fail) on a real multi-chip mesh
+            batch = shard_batch(batch, mesh)
             aux = jax.device_get(eval_step(state, batch, sub))
             for k, v in aux.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
@@ -143,7 +155,7 @@ class Trainer:
             # per-sigma denoise visualization metrics (reference VisualizeDenoise)
             from jamun_tpu.train.diagnostics import visualize_denoise_metrics
 
-            batch0 = next(iter(datamodule.val_batches()))
+            batch0 = shard_batch(next(iter(datamodule.val_batches())), mesh)
             per_sigma = visualize_denoise_metrics(
                 self._denoiser, state.ema_params, batch0, sigmas=cfg.visualize_denoise_sigmas
             )

@@ -533,6 +533,12 @@ bool decode_frame(XdrReader& r, std::vector<float>& out, int* natoms_out) {
         }
         if (run > 0) {
             for (int k = 0; k < run; k += 3) {
+                // A corrupt stream can claim a run longer than the atoms
+                // remaining; bound both the atom counter and the output
+                // cursor before decoding/writing (heap-OOB hardening,
+                // mirrors GROMACS xdrfile).
+                if (i >= natoms || o + (k == 0 ? 6u : 3u) > (size_t)natoms * 3)
+                    return false;
                 decodeints(br, 3, smallidx, sizesmall, thiscoord);
                 i++;
                 thiscoord[0] += prevcoord[0] - smallnum;
@@ -562,6 +568,7 @@ bool decode_frame(XdrReader& r, std::vector<float>& out, int* natoms_out) {
             out[o++] = (float)thiscoord[2] * inv_precision;
         }
         smallidx += is_smaller;
+        if (smallidx < kFirstIdx || smallidx > kLastIdx) return false;
         if (is_smaller < 0) {
             smallnum = smaller;
             smaller = smallidx > kFirstIdx ? kMagicInts[smallidx - 1] / 2 : 0;

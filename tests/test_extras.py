@@ -123,6 +123,76 @@ def test_analysis_pipeline():
     assert "ramachandran_jsd" in res and np.isfinite(res["ramachandran_jsd"])
     assert "tica0_jsd" in res and np.isfinite(res["tica0_jsd"])
     assert "msm_state_jsd" in res
+    assert "autocorrelation" in res and len(res["autocorrelation"]["ref"]) > 1
+
+
+def test_subset_reference_trajectory():
+    from jamun_tpu.analysis.run_analysis import subset_reference_trajectory
+
+    pred = np.zeros((100, 4, 3))
+    ref = np.zeros((1000, 4, 3))
+    # pred budget = 100 x 0.002 s = 0.2 s; ref = 1000 x 0.01 = 10 s -> 2%
+    sub = subset_reference_trajectory(pred, ref, 0.002, 0.01)
+    assert len(sub) == 20
+    # never longer than the reference itself (factor capped at 1)
+    sub = subset_reference_trajectory(pred, ref, 10.0, 0.001)
+    assert len(sub) == 1000
+    # base_factor scales the budget
+    sub = subset_reference_trajectory(pred, ref, 0.002, 0.01, base_factor=10.0)
+    assert len(sub) == 200
+
+
+def test_autocovariance_matches_definition():
+    from jamun_tpu.analysis.run_analysis import autocovariance
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(200)
+    acov = autocovariance(x, nlag=5)
+    n = len(x)
+    for k in range(6):
+        expected = float(np.sum(x[: n - k] * x[k:]) / (n - k))
+        assert acov[k] == pytest.approx(expected)
+    # statsmodels parity when available (adjusted=True, demean=False)
+    try:
+        from statsmodels.tsa.stattools import acovf
+    except ImportError:
+        return
+    np.testing.assert_allclose(acov, acovf(x, nlag=5, adjusted=True, demean=False))
+
+
+def test_run_analysis_cli_speed_matched(tmp_path):
+    """End-to-end CLI: both the plain and the speed-matched `_benchmark`
+    JSONs are written when rates are supplied."""
+    import json
+    import os
+    import sys
+
+    from jamun_tpu.analysis.run_analysis import main as analysis_main
+    from jamun_tpu.data.topology import save_pdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from make_synthetic_data import make_molecule, make_trajectory
+
+    top, pos0 = make_molecule(3, seed=0)
+    ref = make_trajectory(pos0, 400, seed=1)
+    pred = make_trajectory(pos0, 120, seed=2)
+    pdb = str(tmp_path / "top.pdb")
+    save_pdb(pdb, top, pos0)
+    np.save(tmp_path / "pred.npy", pred)
+    np.save(tmp_path / "ref.npy", ref)
+    out = str(tmp_path / "res.json")
+    analysis_main([
+        "--pdb", pdb, "--pred", str(tmp_path / "pred.npy"), "--ref", str(tmp_path / "ref.npy"),
+        "--out", out, "--tica-lag", "10",
+        "--pred-seconds-per-sample", "0.005", "--ref-seconds-per-sample", "0.05",
+    ])
+    plain = json.load(open(out))
+    bench = json.load(open(str(tmp_path / "res_benchmark.json")))
+    assert np.isfinite(plain["ramachandran_jsd"])
+    assert np.isfinite(bench["ramachandran_jsd"])
+    # matched-budget subset: 120*0.005 / (400*0.05) = 3% of 400 frames
+    assert bench["speed_matched"]["ref_subset_frames"] == 12
+    assert bench["num_pred_frames"] == 12
 
 
 def test_tica_recovers_slow_mode():
