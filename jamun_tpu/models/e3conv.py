@@ -44,7 +44,13 @@ def irreps_to_vector(f: jnp.ndarray) -> jnp.ndarray:
 
 
 class _HiddenLayer(nn.Module):
-    """One noise-conditioned message-passing layer (scan body)."""
+    """One noise-conditioned message-passing layer (scan body).
+
+    `transposed`: the whole layer runs in the kernel-native [G, C_rows, N]
+    layout — scaling/skip as lane-broadcast elementwise ops and the ConvBlock
+    via its transposed-I/O fused kernel, so consecutive layers chain with zero
+    transposes. Params are identical to the untransposed layer (init always
+    runs untransposed)."""
 
     irreps_hidden: str
     irreps_sh: str
@@ -54,11 +60,14 @@ class _HiddenLayer(nn.Module):
     use_pallas: bool
     pallas_variant: str = "packed"
     atom_axis: str = None
+    transposed: bool = False
 
     @nn.compact
     def __call__(self, node_attr, edges, c_noise):
         irreps_hidden = Irreps(self.irreps_hidden)
-        scaled = NoiseConditionalScaling(irreps_hidden)(node_attr, c_noise)
+        scaled = NoiseConditionalScaling(irreps_hidden)(
+            node_attr, c_noise, transposed=self.transposed
+        )
         layer_out = ConvBlock(
             irreps_in=irreps_hidden,
             irreps_out=irreps_hidden,
@@ -69,8 +78,10 @@ class _HiddenLayer(nn.Module):
             use_pallas=self.use_pallas,
             pallas_variant=self.pallas_variant,
             atom_axis=self.atom_axis,
-        )(scaled, edges)
-        out = NoiseConditionalSkipConnection(irreps_hidden)(node_attr, layer_out, c_noise)
+        )(scaled, edges, transposed_in=self.transposed, transposed_out=self.transposed)
+        out = NoiseConditionalSkipConnection(irreps_hidden)(
+            node_attr, layer_out, c_noise, transposed=self.transposed
+        )
         return out, None
 
 
@@ -203,6 +214,13 @@ class E3Conv(nn.Module):
         node_attr = embedder(batch)
         irreps_node = embedder.irreps_out
 
+        # zero-transpose chained kernel mode: when every hidden layer will run
+        # the fused-block kernel, the whole stack (initial projector -> hidden
+        # layers -> head) stays in the kernel-native [C, N] layout — no
+        # [C,N] <-> [N,C] transposes at layer boundaries (they were measured as
+        # part of the walk step's fixed overhead, BENCH_NOTES round 2)
+        chained = self._chained_ok(batch, irreps_node, irreps_hidden, irreps_sh, irreps_out)
+
         node_attr = NoiseConditionalScaling(irreps_node)(node_attr, c_noise)
         node_attr = ConvBlock(
             irreps_in=irreps_node,
@@ -216,7 +234,7 @@ class E3Conv(nn.Module):
             use_pallas=self.use_pallas,
             pallas_variant=self.pallas_variant,
             atom_axis=self.atom_axis,
-        )(node_attr, edges)
+        )(node_attr, edges, transposed_out=chained)
 
         layer_kwargs = dict(
             irreps_hidden=self.irreps_hidden,
@@ -227,6 +245,7 @@ class E3Conv(nn.Module):
             use_pallas=self.use_pallas,
             pallas_variant=self.pallas_variant,
             atom_axis=self.atom_axis,
+            transposed=chained,
         )
         if self.scan_layers:
             ScannedLayer = nn.scan(
@@ -241,11 +260,94 @@ class E3Conv(nn.Module):
             for _ in range(self.n_layers):
                 node_attr, _ = _HiddenLayer(**layer_kwargs)(node_attr, edges, c_noise)
 
-        node_attr = EquivariantMLP(
-            irreps_in=irreps_hidden,
-            irreps_out=irreps_out,
-            irreps_hidden_list=[irreps_hidden],
-        )(node_attr)
+        if chained:
+            node_attr = self._transposed_head(node_attr, irreps_hidden, irreps_out)
+        else:
+            node_attr = EquivariantMLP(
+                irreps_in=irreps_hidden,
+                irreps_out=irreps_out,
+                irreps_hidden_list=[irreps_hidden],
+            )(node_attr)
         output_gain = self.param("output_gain", nn.initializers.zeros, ())
         node_attr = node_attr * output_gain
         return node_attr * batch.node_mask[..., None]
+
+    def _chained_ok(self, batch, irreps_node, irreps_hidden, irreps_sh, irreps_out) -> bool:
+        """True when the whole hidden stack will run the fused-block kernel
+        with transposed I/O — mirrors `ConvBlock._fused_block_supported` /
+        `Conv._pallas_supported` for both the initial projector (V = 0) and
+        the hidden layers, plus the l<=1 head the transposed head supports."""
+        from jamun_tpu.ops.pallas.packed_conv import packed_shape_bounds_ok, supports_packed_conv
+
+        if not (
+            self.use_pallas
+            and self.pallas_variant == "packed"
+            and self.tensor_product == "uvu"
+            and self.atom_axis is None
+            and not self.is_initializing()
+        ):
+            return False
+        hid = list(irreps_hidden)
+        canonical_hidden = (
+            len(hid) == 2
+            and hid[0].ir.l == 0 and hid[0].ir.p == 1
+            and hid[1].ir.l == 1 and hid[1].ir.p == 1
+            and hid[1].mul > 0
+        )
+        if not canonical_hidden:
+            return False
+        head_ok = all(mi.ir.l <= 1 and mi.ir.p == 1 for mi in irreps_out)
+        S_h, V_h = hid[0].mul, hid[1].mul
+        S_emb = Irreps(irreps_node)[0].mul
+        N = batch.pos.shape[1]
+        return (
+            head_ok
+            and supports_packed_conv(S_h, V_h, irreps_sh.dim, self.edge_attr_dim, self.edge_attr_dim)
+            and packed_shape_bounds_ok(N, S_h, V_h)
+            and packed_shape_bounds_ok(N, S_emb, 0)
+        )
+
+    def _transposed_head(self, xT, irreps_hidden, irreps_out) -> jnp.ndarray:
+        """The EquivariantMLP head applied in the kernel-native transposed
+        layout, reading the (init-created) `EquivariantMLP_0` params by name.
+        xT: [G, Sp + 3*Vp, N] -> [G, N, irreps_out.dim] (packed layout)."""
+        import math
+
+        import jax
+
+        from jamun_tpu.ops.pallas.packed_conv import _pad16
+        from jamun_tpu.ops.precision import matmul_precision
+
+        S, V = irreps_hidden[0].mul, irreps_hidden[1].mul
+        Sp, Vp = _pad16(S), _pad16(V)
+        cdt = self.dtype or xT.dtype
+        prec = matmul_precision(cdt)
+        p = self.get_variable("params", "EquivariantMLP_0")
+        blk = p["EquivariantMLPBlock_0"]["IrrepsLinear_0"]
+        fin = p["IrrepsLinear_0"]
+
+        def lin(w, fan, x):
+            return jnp.einsum(
+                "uw,gun->gwn", w.astype(cdt) / math.sqrt(max(fan, 1)), x, precision=prec
+            )
+
+        xs = xT[:, 0:S].astype(cdt)
+        xv = [xT[:, Sp + c * Vp : Sp + c * Vp + V].astype(cdt) for c in range(3)]
+        # EquivariantMLPBlock: IrrepsLinear(hidden -> gate.irreps_in) + Gate
+        s_pre = lin(blk["w_0_0"], S, xs)          # scalars [G, S, N]
+        gates = jax.nn.sigmoid(lin(blk["w_0_1"], S, xs))  # [G, V, N]
+        v_pre = [lin(blk["w_1_2"], V, xv[c]) for c in range(3)]
+        s_act = jax.nn.leaky_relu(s_pre, 0.01)
+        gated = [v_pre[c] * gates for c in range(3)]
+        # final IrrepsLinear(gate.irreps_out [(S,0e),(V,1e)] -> irreps_out)
+        G, N = xT.shape[0], xT.shape[-1]
+        out_parts = []
+        for j, mi in enumerate(irreps_out):
+            if mi.ir.l == 0:
+                o = lin(fin[f"w_0_{j}"], S, s_act)  # [G, mul, N]
+                out_parts.append(jnp.swapaxes(o, -1, -2))
+            else:
+                comps = [lin(fin[f"w_1_{j}"], V, gated[c]) for c in range(3)]
+                o = jnp.stack(comps, axis=-1)  # [G, mul, N, 3]
+                out_parts.append(jnp.swapaxes(o, 1, 2).reshape(G, N, 3 * mi.mul))
+        return jnp.concatenate(out_parts, axis=-1)

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from jamun_tpu.ops.irreps import Irreps
 from jamun_tpu.ops.mlp import torch_linear_bias_init, torch_linear_kernel_init
-from jamun_tpu.ops.tensor_product import scale_irreps
+from jamun_tpu.ops.tensor_product import scale_irreps, scale_irreps_transposed
 
 __all__ = ["NoiseConditionalScaling", "NoiseConditionalSkipConnection", "NoiseEmbedding", "linear_embedding_transform"]
 
@@ -45,9 +45,14 @@ class NoiseConditionalScaling(nn.Module):
     irreps: Union[str, Irreps]
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, c_noise: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, c_noise: jnp.ndarray, transposed: bool = False) -> jnp.ndarray:
+        """`transposed`: x is in the kernel-native [..., C_rows, N] layout
+        (zero-transpose layer chaining); params are identical either way."""
         irreps = Irreps(self.irreps)
         scales = _ScalePredictor(irreps.num_irreps)(c_noise)  # [1, num_irreps]
+        if transposed:
+            scales = scales.reshape((1,) * (x.ndim - 2) + (irreps.num_irreps,))
+            return scale_irreps_transposed(x, scales, irreps)
         scales = scales.reshape((1,) * (x.ndim - 1) + (irreps.num_irreps,))
         return scale_irreps(x, scales, irreps)
 
@@ -59,9 +64,16 @@ class NoiseConditionalSkipConnection(nn.Module):
     irreps: Union[str, Irreps]
 
     @nn.compact
-    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, c_noise: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x1: jnp.ndarray, x2: jnp.ndarray, c_noise: jnp.ndarray, transposed: bool = False
+    ) -> jnp.ndarray:
         irreps = Irreps(self.irreps)
         w = jax.nn.sigmoid(_ScalePredictor(irreps.num_irreps)(c_noise))
+        if transposed:
+            w = w.reshape((1,) * (x1.ndim - 2) + (irreps.num_irreps,))
+            return scale_irreps_transposed(x1, w, irreps) + scale_irreps_transposed(
+                x2, 1.0 - w, irreps
+            )
         w = w.reshape((1,) * (x1.ndim - 1) + (irreps.num_irreps,))
         return scale_irreps(x1, w, irreps) + scale_irreps(x2, 1.0 - w, irreps)
 

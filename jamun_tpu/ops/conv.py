@@ -87,11 +87,13 @@ class Conv(nn.Module):
             return irreps_in[0].mul, irreps_in[1].mul
         return None
 
-    def _pallas_supported(self, node_attr: jnp.ndarray, edges: EdgeData) -> bool:
+    def _pallas_supported(self, node_attr: jnp.ndarray, edges: EdgeData, n_atoms: int = None) -> bool:
         sv = self._sv_shape()
         if sv is None:
             return False
         S, V = sv
+        if n_atoms is None:
+            n_atoms = node_attr.shape[1]
         if self.pallas_variant == "packed":
             from jamun_tpu.ops.pallas.packed_conv import supports_packed_conv as supports
         else:
@@ -105,10 +107,9 @@ class Conv(nn.Module):
         if self.pallas_variant == "packed":
             from jamun_tpu.ops.pallas.packed_conv import packed_shape_bounds_ok
 
-            shapes_ok = shapes_ok and packed_shape_bounds_ok(node_attr.shape[1], S, V)
+            shapes_ok = shapes_ok and packed_shape_bounds_ok(n_atoms, S, V)
         elif jax.default_backend() in ("tpu", "axon"):
-            N = node_attr.shape[1]
-            shapes_ok = shapes_ok and 16 <= N <= 128 and S >= 32 and (V == 0 or V >= 16)
+            shapes_ok = shapes_ok and 16 <= n_atoms <= 128 and S >= 32 and (V == 0 or V >= 16)
         return (
             self.use_pallas
             and self.atom_axis is None
@@ -298,7 +299,17 @@ class ConvBlock(nn.Module):
     atom_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, node_attr: jnp.ndarray, edges: EdgeData) -> jnp.ndarray:
+    def __call__(
+        self,
+        node_attr: jnp.ndarray,
+        edges: EdgeData,
+        transposed_in: bool = False,
+        transposed_out: bool = False,
+    ) -> jnp.ndarray:
+        """`transposed_in`: node_attr is the kernel-native [G, Sp + 3*Vp, N]
+        layout; `transposed_out`: the raw [G, Scp + 3*Vgp, N] kernel output is
+        returned — zero-transpose chaining of consecutive blocks. Only valid
+        when the fused-block kernel path applies (the caller must guard)."""
         irreps_in = Irreps(self.irreps_in)
         irreps_out = Irreps(self.irreps_out)
         gate = Gate(irreps_out)
@@ -314,6 +325,17 @@ class ConvBlock(nn.Module):
             atom_axis=self.atom_axis,
         )
 
+        if transposed_in or transposed_out:
+            n_atoms = node_attr.shape[-1] if transposed_in else node_attr.shape[1]
+            if not self._fused_block_supported(conv, gate, node_attr, edges, n_atoms=n_atoms):
+                raise ValueError(
+                    "ConvBlock(transposed_in/out) requires the fused-block kernel path"
+                )
+            return self._fused_block(
+                conv, gate, node_attr, edges,
+                transposed_in=transposed_in, transposed_out=transposed_out,
+            )
+
         if self._fused_block_supported(conv, gate, node_attr, edges):
             return self._fused_block(conv, gate, node_attr, edges)
 
@@ -325,7 +347,9 @@ class ConvBlock(nn.Module):
         x = IrrepsLinear(gate.irreps_out, gate.irreps_out)(x)
         return x + skip
 
-    def _fused_block_supported(self, conv: Conv, gate: Gate, node_attr, edges) -> bool:
+    def _fused_block_supported(
+        self, conv: Conv, gate: Gate, node_attr, edges, n_atoms: int = None
+    ) -> bool:
         """Whole-ConvBlock kernel: additionally requires the canonical gate
         shape [(Sc,0e),(Gt,0e),(Vg,1e)] with Gt == Vg and default gate acts."""
         if self.is_initializing():
@@ -341,11 +365,14 @@ class ConvBlock(nn.Module):
         return (
             canonical
             and self.pallas_variant == "packed"
-            and conv._pallas_supported(node_attr, edges)
+            and conv._pallas_supported(node_attr, edges, n_atoms=n_atoms)
             and conv._fused_layer_supported(edges)
         )
 
-    def _fused_block(self, conv: Conv, gate: Gate, node_attr, edges) -> jnp.ndarray:
+    def _fused_block(
+        self, conv: Conv, gate: Gate, node_attr, edges,
+        transposed_in: bool = False, transposed_out: bool = False,
+    ) -> jnp.ndarray:
         """Run the whole block (conv + gate + linear + linear skip) in the
         fused kernel, reading the (init-created) child params by name."""
         from jamun_tpu.ops.pallas.packed_conv import (
@@ -382,7 +409,8 @@ class ConvBlock(nn.Module):
         # custom-VJP wrapper: forward = fused kernel, backward = the
         # hand-written backward kernel — the block is fully trainable
         fn = make_trainable_conv_block(
-            S, V, out_blocks, n_radial, interpret, self.dtype
+            S, V, out_blocks, n_radial, interpret, self.dtype,
+            transposed_in=transposed_in, transposed_out=transposed_out,
         )
         out = fn(
             node_attr.astype(cdt),

@@ -789,15 +789,47 @@ def _layer_kernel(
             out_ref[k, Scp + c * Vgp : Scp + (c + 1) * Vgp] = o1
 
 
+def pack_features_transposed(x: jnp.ndarray, S: int, V: int, cdt) -> jnp.ndarray:
+    """[G, N, S + 3V] packed irreps -> [G, Sp + 3*Vp, N] slot-padded transposed
+    node features (the kernels' native layout). Rows: [s (Sp) | vy | vz | vx
+    (Vp each)]."""
+    G, N, _ = x.shape
+    Sp, Vp = _pad16(S), _pad16(V)
+    sT = jnp.swapaxes(x[..., :S], -1, -2).astype(cdt)
+    parts = [sT]
+    if Sp != S:
+        parts.append(jnp.zeros((G, Sp - S, N), cdt))
+    if V > 0:
+        v = x[..., S:].reshape(G, N, V, 3).astype(cdt)
+        for c in range(3):
+            parts.append(jnp.swapaxes(v[..., c], -1, -2))
+            if Vp != V:
+                parts.append(jnp.zeros((G, Vp - V, N), cdt))
+    return jnp.concatenate(parts, axis=1)
+
+
+def unpack_features_transposed(xT: jnp.ndarray, S: int, V: int) -> jnp.ndarray:
+    """Inverse of `pack_features_transposed`: [G, Sp + 3*Vp, N] -> [G, N, S + 3V]."""
+    G = xT.shape[0]
+    N = xT.shape[-1]
+    Sp, Vp = _pad16(S), _pad16(V)
+    out = [jnp.swapaxes(xT[:, 0:S, :], -1, -2)]
+    if V > 0:
+        comps = [jnp.swapaxes(xT[:, Sp + c * Vp : Sp + c * Vp + V, :], -1, -2) for c in range(3)]
+        out.append(jnp.stack(comps, axis=-1).reshape(G, N, 3 * V))
+    return jnp.concatenate(out, axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "S", "V", "out_blocks", "n_radial", "interpret", "compute_dtype",
-        "graphs_per_program", "fuse_block",
+        "graphs_per_program", "fuse_block", "transposed_in", "transposed_out",
     ),
 )
 def packed_separable_conv_layer(
     x: jnp.ndarray,          # [G, N, S + 3V] packed irreps node features
+                             # (transposed_in: [G, Sp + 3*Vp, N] instead)
     ef: jnp.ndarray,         # [G, EFR, P] edge features (packed_edge_features)
     bf: jnp.ndarray,         # [G, EFR, B]
     ebsT: jnp.ndarray,       # [G, N, B]
@@ -819,6 +851,8 @@ def packed_separable_conv_layer(
     fuse_block: bool = False,
     lin2_params=None,        # fuse_block: IrrepsLinear params of the 2nd linear
     skip_params=None,        # fuse_block: IrrepsLinear params of the linear skip
+    transposed_in: bool = False,   # x is already [G, Sp + 3*Vp, N] (kernel-native)
+    transposed_out: bool = False,  # return raw [G, Cp_out, N] (fuse_block only)
 ) -> jnp.ndarray:
     """The COMPLETE SeparableConv layer: dense radial conv + bonded edges +
     mean aggregation + post-linear, fused into one kernel per K graphs.
@@ -833,8 +867,19 @@ def packed_separable_conv_layer(
     Reference scope: `Conv.forward` incl. torch_scatter aggregation and the
     SeparableTensorProduct's pointwise o3.Linear — plus, with fuse_block, the
     whole `ConvBlock` (`/root/reference/src/jamun/e3tools/nn/_conv.py:96-223`,
-    `nn/_tensor_product.py:27-53`)."""
-    G, N, _ = x.shape
+    `nn/_tensor_product.py:27-53`).
+
+    `transposed_in` / `transposed_out` (fuse_block only) keep the data in the
+    kernel-native [C, N] layout at the call boundary so consecutive blocks
+    chain with ZERO transposes: when irreps_in == gate.irreps_out (the hidden
+    layers), the raw output [G, Scp + 3*Vgp, N] is directly the next call's
+    input [G, Sp + 3*Vp, N] (padding rows are written as zeros)."""
+    if transposed_out:
+        assert fuse_block, "transposed_out requires fuse_block"
+    if transposed_in:
+        G, _, N = x.shape
+    else:
+        G, N, _ = x.shape
     B = ebd.shape[1]
     f32 = jnp.float32
     cdt = compute_dtype or jnp.float32
@@ -857,17 +902,7 @@ def packed_separable_conv_layer(
         x, ef, bf, ebsT, ebd = map(padg_fn, (x, ef, bf, ebsT, ebd))
 
     # --- transposed, slot-padded node features ---
-    sT = jnp.swapaxes(x[..., :S], -1, -2).astype(cdt)
-    parts = [sT]
-    if Sp != S:
-        parts.append(jnp.zeros((Gp, Sp - S, N), cdt))
-    if V > 0:
-        v = x[..., S:].reshape(Gp, N, V, 3).astype(cdt)
-        for c in range(3):
-            parts.append(jnp.swapaxes(v[..., c], -1, -2))
-            if Vp != V:
-                parts.append(jnp.zeros((Gp, Vp - V, N), cdt))
-    nfT = jnp.concatenate(parts, axis=1)
+    nfT = x.astype(cdt) if transposed_in else pack_features_transposed(x, S, V, cdt)
 
     # --- radial weights: bond-embedding folds + transposed row slots ---
     nb = w1.shape[0] - n_radial
@@ -1028,6 +1063,9 @@ def packed_separable_conv_layer(
     )
     if padg:
         outT = outT[:G]
+
+    if transposed_out:
+        return outT
 
     if fuse_block:
         # gate.irreps_out layout: [(Sc, 0e), (Vg, 1e)]
@@ -1342,11 +1380,13 @@ def _block_bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "V", "out_blocks", "n_radial", "interpret", "compute_dtype", "graphs_per_program"
+        "S", "V", "out_blocks", "n_radial", "interpret", "compute_dtype",
+        "graphs_per_program", "transposed_in", "transposed_out",
     ),
 )
 def packed_conv_block_bwd(
     g: jnp.ndarray,          # [G, N, Sc + 3*Vg] cotangent of the block output
+                             # (transposed_out: [G, Scp + 3*Vgp, N] instead)
     x: jnp.ndarray,
     ef: jnp.ndarray,
     bf: jnp.ndarray,
@@ -1369,11 +1409,16 @@ def packed_conv_block_bwd(
     compute_dtype=None,
     graphs_per_program: int = 16,  # bwd prefers bigger K than the forward's 8
     # (measured 4AA b32: K=8 1.97, K=16 1.45, K=32 1.44 ms per layer-call)
+    transposed_in: bool = False,   # x is [G, Sp + 3*Vp, N]; dx returned likewise
+    transposed_out: bool = False,  # g is [G, Scp + 3*Vgp, N] (kernel-native)
 ):
     """Backward of the fused ConvBlock. Returns grads for
     (x, w1, b1, w2, b2, bond0, bond1, pl_params, lin2_params, skip_params)
-    in their ORIGINAL layouts."""
-    G, N, _ = x.shape
+    in their ORIGINAL layouts (or the transposed layouts per the flags)."""
+    if transposed_in:
+        G, _, N = x.shape
+    else:
+        G, N, _ = x.shape
     B = ebd.shape[1]
     f32 = jnp.float32
     cdt = compute_dtype or jnp.float32
@@ -1392,30 +1437,23 @@ def packed_conv_block_bwd(
         x, ef, bf, ebsT, ebd, g = map(padg_fn, (x, ef, bf, ebsT, ebd, g))
 
     # --- transposed inputs (same prep as the forward wrapper) ---
-    sT = jnp.swapaxes(x[..., :S], -1, -2).astype(cdt)
-    parts = [sT]
-    if Sp != S:
-        parts.append(jnp.zeros((Gp, Sp - S, N), cdt))
-    if V > 0:
-        v = x[..., S:].reshape(Gp, N, V, 3).astype(cdt)
-        for c in range(3):
-            parts.append(jnp.swapaxes(v[..., c], -1, -2))
-            if Vp != V:
-                parts.append(jnp.zeros((Gp, Vp - V, N), cdt))
-    nfT = jnp.concatenate(parts, axis=1)
+    nfT = x.astype(cdt) if transposed_in else pack_features_transposed(x, S, V, cdt)
 
     # cotangent in transposed slot layout [Scp | Vg x3]
-    gT0 = jnp.swapaxes(g[..., :Sc], -1, -2).astype(f32)
-    gparts = [gT0]
-    if Scp != Sc:
-        gparts.append(jnp.zeros((Gp, Scp - Sc, N), f32))
-    if Vg > 0:
-        gv = g[..., Sc:].reshape(Gp, N, Vg, 3)
-        for c in range(3):
-            gparts.append(jnp.swapaxes(gv[..., c], -1, -2).astype(f32))
-            if Vgp != Vg:
-                gparts.append(jnp.zeros((Gp, Vgp - Vg, N), f32))
-    gT = jnp.concatenate(gparts, axis=1)  # [Gp, Scp + 3Vgp, N]
+    if transposed_out:
+        gT = g.astype(f32)
+    else:
+        gT0 = jnp.swapaxes(g[..., :Sc], -1, -2).astype(f32)
+        gparts = [gT0]
+        if Scp != Sc:
+            gparts.append(jnp.zeros((Gp, Scp - Sc, N), f32))
+        if Vg > 0:
+            gv = g[..., Sc:].reshape(Gp, N, Vg, 3)
+            for c in range(3):
+                gparts.append(jnp.swapaxes(gv[..., c], -1, -2).astype(f32))
+                if Vgp != Vg:
+                    gparts.append(jnp.zeros((Gp, Vgp - Vg, N), f32))
+        gT = jnp.concatenate(gparts, axis=1)  # [Gp, Scp + 3Vgp, N]
 
     nb = w1.shape[0] - n_radial
     hiP = jax.lax.Precision.HIGHEST
@@ -1570,13 +1608,10 @@ def packed_conv_block_bwd(
         dxT = dxT[:G]
 
     # --- unmap to original layouts ---
-    dx_s = jnp.swapaxes(dxT[:, 0:S, :], -1, -2)
-    if V > 0:
-        comps = [jnp.swapaxes(dxT[:, Sp + c * Vp : Sp + c * Vp + V, :], -1, -2) for c in range(3)]
-        dx_v = jnp.stack(comps, axis=-1).reshape(G, N, 3 * V)
-        dx = jnp.concatenate([dx_s, dx_v], axis=-1).astype(x.dtype)
+    if transposed_in:
+        dx = dxT.astype(x.dtype)
     else:
-        dx = dx_s.astype(x.dtype)
+        dx = unpack_features_transposed(dxT, S, V).astype(x.dtype)
 
     db1d_v = db1d[:, 0]
     db1b_v = db1b[:, 0]
@@ -1637,13 +1672,19 @@ def packed_conv_block_bwd(
 
 
 @functools.lru_cache(maxsize=64)
-def make_trainable_conv_block(S, V, out_blocks, n_radial, interpret, compute_dtype):
+def make_trainable_conv_block(
+    S, V, out_blocks, n_radial, interpret, compute_dtype,
+    transposed_in=False, transposed_out=False,
+):
     """A custom-VJP wrapper of the fused ConvBlock: forward = fused kernel,
-    backward = the hand-written backward kernel (`_block_bwd_kernel`)."""
+    backward = the hand-written backward kernel (`_block_bwd_kernel`).
+    With the transposed flags, x / the return value / their cotangents stay in
+    the kernel-native [C, N] layout (zero-transpose layer chaining)."""
 
     kw = dict(
         S=S, V=V, out_blocks=out_blocks, n_radial=n_radial,
         interpret=interpret, compute_dtype=compute_dtype,
+        transposed_in=transposed_in, transposed_out=transposed_out,
     )
 
     @jax.custom_vjp

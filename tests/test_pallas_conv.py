@@ -234,9 +234,12 @@ def test_kernel_path_trainable_grad_parity():
     assert worst < 1e-4, f"worst relative grad error {worst}"
 
 
+@pytest.mark.slow
 def test_kernel_path_train_step():
     """A full train step runs on the kernel path (forward kernel + backward
-    kernel) and matches the XLA-path loss."""
+    kernel) and matches the XLA-path loss. Slow tier: the fast tier already
+    covers backward-kernel grad parity (test_kernel_path_trainable_grad_parity);
+    this adds the optimizer-integration compile on top (~70 s CPU)."""
     import optax
 
     from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
@@ -265,3 +268,43 @@ def test_kernel_path_train_step():
         losses[pallas] = float(aux["loss"])
     assert np.isfinite(losses[True])
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-3)
+
+
+def test_chained_transposed_grad_parity():
+    """The zero-transpose chained kernel mode (transposed scaling/skip + head,
+    round 3) matches XLA autodiff at the full-E3Conv level for params AND the
+    forward value."""
+    import jax.tree_util as jtu
+
+    from jamun_tpu.models.e3conv import E3Conv
+
+    batch = make_test_batch(num_graphs=2, max_nodes=16, scale=0.3)
+    c_noise = jnp.asarray([jnp.log(0.04) / 4.0])
+    cutoff = jnp.asarray(1.0)
+    kwargs = dict(
+        irreps_hidden=f"{S}x0e + {V}x1e", n_layers=2, edge_attr_dim=64,
+        atom_type_embedding_dim=4, atom_code_embedding_dim=4,
+        residue_code_embedding_dim=4, residue_index_embedding_dim=4,
+        tensor_product="uvu",
+    )
+    ref = E3Conv(**kwargs, use_pallas=False)
+    pal = E3Conv(**kwargs, use_pallas=True)
+    params = jax.jit(ref.init)(jax.random.PRNGKey(0), batch, c_noise, cutoff)
+    params = jax.tree.map(lambda p: p + 0.5 if p.ndim == 0 else p, params)
+
+    rng = np.random.default_rng(7)
+    cot = jnp.asarray(rng.standard_normal(
+        (2, batch.pos.shape[1], Irreps("1x1e").dim)
+    ).astype(np.float32))
+
+    out_ref = np.asarray(jax.jit(ref.apply)(params, batch, c_noise, cutoff))
+    out_pal = np.asarray(jax.jit(pal.apply)(params, batch, c_noise, cutoff))
+    np.testing.assert_allclose(out_pal, out_ref, atol=5e-4, rtol=1e-3)
+
+    gr = jax.grad(lambda p: jnp.sum(ref.apply(p, batch, c_noise, cutoff) * cot))(params)
+    gp = jax.grad(lambda p: jnp.sum(pal.apply(p, batch, c_noise, cutoff) * cot))(params)
+    errs = jtu.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b)) / (1e-6 + jnp.max(jnp.abs(a)))), gr, gp
+    )
+    worst = max(jtu.tree_leaves(errs))
+    assert worst < 5e-4, f"worst relative grad error {worst}"

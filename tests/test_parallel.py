@@ -51,9 +51,9 @@ def test_shard_atoms_places_on_all_devices():
     assert len(xs.sharding.device_set) == len(jax.devices())
 
 
-def test_atom_sharded_e3conv_exact():
+def _atom_sharded_e3conv_exact(N, nodes_per_graph):
     """The REAL E3Conv forward with atoms sharded over the 8-device mesh
-    matches the dense single-device forward (chignolin-scale N=96)."""
+    matches the dense single-device forward."""
     if len(jax.devices()) < 2:
         pytest.skip("needs the virtual multi-device mesh")
     from jamun_tpu.models.e3conv import E3Conv
@@ -62,9 +62,8 @@ def test_atom_sharded_e3conv_exact():
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)
-    N = 96
     batch = make_test_batch(
-        num_graphs=2, max_nodes=N, nodes_per_graph=[90, 96], max_bonds=2 * N, scale=0.5
+        num_graphs=2, max_nodes=N, nodes_per_graph=nodes_per_graph, max_bonds=2 * N, scale=0.5
     )
     arch = E3Conv(
         irreps_hidden="8x0e + 4x1e", n_layers=2, edge_attr_dim=8,
@@ -81,3 +80,14 @@ def test_atom_sharded_e3conv_exact():
     ref = np.asarray(jax.jit(arch.apply)(params, batch, c_noise, cutoff))
     out = np.asarray(atom_sharded_arch_apply(arch, mesh, params, batch, c_noise, cutoff))
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_atom_sharded_e3conv_exact():
+    # N=48 keeps the fast tier quick (6 local atoms/device still exercises the
+    # per-layer halo + ragged masks); chignolin scale runs in the slow tier.
+    _atom_sharded_e3conv_exact(48, [42, 48])
+
+
+@pytest.mark.slow
+def test_atom_sharded_e3conv_exact_chignolin_scale():
+    _atom_sharded_e3conv_exact(96, [90, 96])

@@ -202,7 +202,27 @@ def test_chunked_offload_matches_save_grid():
     out2 = bs.sample_chunked(den, params, init, jax.random.PRNGKey(2), y0)
     np.testing.assert_array_equal(out["y_traj"], out2["y_traj"])
 
-    # through the driver, with chain continuation across batches
+
+@pytest.mark.slow
+def test_chunked_offload_through_sampler_driver():
+    """sample_chunked through the Sampler driver with chain continuation
+    across batches (slow tier: the extra driver jits dominate)."""
+    from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
+    from jamun_tpu.models.e3conv import E3Conv
+    from jamun_tpu.sampling.sampler import Sampler
+    from jamun_tpu.sampling.walkjump import SingleMeasurementSampler
+    from jamun_tpu.utils.testing import make_test_batch
+
+    arch = E3Conv(
+        irreps_hidden="4x0e + 2x1e", n_layers=1, edge_attr_dim=4,
+        atom_type_embedding_dim=2, atom_code_embedding_dim=2,
+        residue_code_embedding_dim=2, residue_index_embedding_dim=2,
+    )
+    den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.3))
+    init = make_test_batch(num_graphs=2, max_nodes=8)
+    params = den.init(jax.random.PRNGKey(0), init)
+    cfg = MCMCConfig(delta=0.04, steps=26, save_every_n_steps=2)
+    bs = SingleMeasurementSampler(mcmc=BAOAB(cfg), sigma=0.04, offload_chunk_steps=6)
     res = Sampler().sample(
         den, params, bs, num_batches=2, init_graphs=init, continue_chain=True
     )
