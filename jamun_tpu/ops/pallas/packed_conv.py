@@ -482,10 +482,11 @@ def _edge_feat_kernel(
     P = N * N
     cutoff = scal_ref[0, 0]
     hi = jax.lax.Precision.HIGHEST
-    ejt_f, eit_f, eye_row = _dense_onehots(N, P, f32)
+    _, eit_f, eye_row = _dense_onehots(N, P, f32)
 
     for k in range(K):
-        pmj = jnp.dot(posm_ref[k], ejt_f, preferred_element_type=f32, precision=hi)
+        # src rows tile along dst-major pairs: a repeat copy, not a matmul
+        pmj = pltpu.repeat(posm_ref[k][...], N, axis=1)
         pmi = jnp.dot(posm_ref[k], eit_f, preferred_element_type=f32, precision=hi)
         rel = pmj - pmi  # [8, P]
         dx, dy, dz = rel[0:1], rel[1:2], rel[2:3]
@@ -666,13 +667,16 @@ def _layer_kernel(
         jnp.int32, (P, N), 1
     ) * N
     ei = ((offt >= 0) & (offt < N)).astype(cdt)  # [P, N] aggregation one-hot
-    ejt, _, _ = _dense_onehots(N, P, f32)
-    ejt = ejt.astype(cdt)
 
     for k in range(K):
-        def stream(feat_ref, agg_rhs, gatherT, b1_eff, L):
+        def stream(feat_ref, agg_rhs, gatherT, b1_eff, L, reps=None):
             """One edge stream (dense pairs or bonds): radial MLP -> messages
-            -> aggregated per-path [C, N] blocks + degree row."""
+            -> aggregated per-path [C, N] blocks + degree row.
+
+            `reps`: dst-major dense pairs gather src features by TILING
+            (sj[:, i*N+j] = nf[:, j]) — a pltpu.repeat copy instead of the
+            [C, N] @ [N, P] one-hot matmul, killing the kernel's only
+            N^3-scaling MXU term. Bonds (arbitrary src) keep the matmul."""
             shy = feat_ref[k][0:1]
             shz = feat_ref[k][1:2]
             shx = feat_ref[k][2:3]
@@ -692,9 +696,12 @@ def _layer_kernel(
                 return jnp.dot(msg, agg_rhs, preferred_element_type=f32, precision=prec)
 
             adjS = jnp.broadcast_to(adj, (Sp, L))
-            sj = (
-                jnp.dot(nf_ref[k][0:Sp], gatherT, preferred_element_type=f32, precision=prec)
-            ).astype(cdt) * adjS
+            if reps is not None:
+                sj = pltpu.repeat(nf_ref[k][0:Sp], reps, axis=1) * adjS
+            else:
+                sj = (
+                    jnp.dot(nf_ref[k][0:Sp], gatherT, preferred_element_type=f32, precision=prec)
+                ).astype(cdt) * adjS
             w1p = w_all[0:Sp]
             w2p = w_all[Sp : 2 * Sp]
             m1 = w1p * sj
@@ -704,12 +711,16 @@ def _layer_kernel(
             shxS = jnp.broadcast_to(shx, (Sp, L))
             blocks = [agg(m1), agg(t2 * shyS), agg(t2 * shzS), agg(t2 * shxS)]
             if V > 0:
-                vj = (
-                    jnp.dot(
-                        nf_ref[k][Sp : Sp + 3 * Vp], gatherT,
-                        preferred_element_type=f32, precision=prec,
-                    )
-                ).astype(cdt) * jnp.broadcast_to(adj, (3 * Vp, L))
+                if reps is not None:
+                    vj = pltpu.repeat(nf_ref[k][Sp : Sp + 3 * Vp], reps, axis=1)
+                else:
+                    vj = (
+                        jnp.dot(
+                            nf_ref[k][Sp : Sp + 3 * Vp], gatherT,
+                            preferred_element_type=f32, precision=prec,
+                        )
+                    ).astype(cdt)
+                vj = vj * jnp.broadcast_to(adj, (3 * Vp, L))
                 vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
                 w3p = w_all[2 * Sp : 2 * Sp + Vp]
                 w4p = w_all[2 * Sp + Vp : 2 * Sp + 2 * Vp]
@@ -730,7 +741,7 @@ def _layer_kernel(
             deg = agg(adj)  # [1, N]
             return blocks, deg
 
-        blocks_d, deg_d = stream(ef_ref, ei, ejt, b1d_ref, P)
+        blocks_d, deg_d = stream(ef_ref, ei, None, b1d_ref, P, reps=N)
         blocks_b, deg_b = stream(bf_ref, ebd_ref[k].astype(cdt), ebsT_ref[k].astype(cdt), b1b_ref, B)
 
         inv_deg = 1.0 / jnp.maximum(deg_d + deg_b, 1.0)  # [1, N]
@@ -1156,8 +1167,7 @@ def _block_bwd_kernel(
         jnp.int32, (P, N), 1
     ) * N
     ei = ((offt >= 0) & (offt < N)).astype(cdt)  # [P, N]
-    ejt_f, eit_f, _ = _dense_onehots(N, P, f32)
-    ejt = ejt_f.astype(cdt)       # [N, P] src gather
+    _, eit_f, _ = _dense_onehots(N, P, f32)
     eit = eit_f.astype(cdt)       # [N, P] agg backward (block @ eit broadcasts dst)
     # ej [P, N]: identity tiled along rows — src-gather backward (scatter-add)
     idc = (
@@ -1179,7 +1189,7 @@ def _block_bwd_kernel(
 
     for k in range(K):
         # ---------------- forward recompute (both streams) ----------------
-        def fwd_stream(feat_ref, agg_rhs, gatherT, b1_eff, L):
+        def fwd_stream(feat_ref, agg_rhs, gatherT, b1_eff, L, reps=None):
             shy = feat_ref[k][0:1]
             shz = feat_ref[k][1:2]
             shx = feat_ref[k][2:3]
@@ -1190,15 +1200,21 @@ def _block_bwd_kernel(
             h = (h32 * sig).astype(cdt)
             w_all = (mm(w2_ref[...], h) + b2_ref[...]).astype(cdt)
             adjS = jnp.broadcast_to(adj, (Sp, L))
-            sj = mm(nf_ref[k][0:Sp], gatherT).astype(cdt) * adjS
+            # dense pairs (dst-major): src gather is a tile copy, not a matmul
+            if reps is not None:
+                sj = pltpu.repeat(nf_ref[k][0:Sp], reps, axis=1) * adjS
+            else:
+                sj = mm(nf_ref[k][0:Sp], gatherT).astype(cdt) * adjS
             sh = (jnp.broadcast_to(shy, (max(Sp, Vp), L)),
                   jnp.broadcast_to(shz, (max(Sp, Vp), L)),
                   jnp.broadcast_to(shx, (max(Sp, Vp), L)))
             vj = None
             if V > 0:
-                vj = mm(nf_ref[k][Sp : Sp + 3 * Vp], gatherT).astype(cdt) * jnp.broadcast_to(
-                    adj, (3 * Vp, L)
-                )
+                if reps is not None:
+                    vj = pltpu.repeat(nf_ref[k][Sp : Sp + 3 * Vp], reps, axis=1)
+                else:
+                    vj = mm(nf_ref[k][Sp : Sp + 3 * Vp], gatherT).astype(cdt)
+                vj = vj * jnp.broadcast_to(adj, (3 * Vp, L))
             def agg(msg):
                 return mm(msg, agg_rhs)
             w1p = w_all[0:Sp]
@@ -1226,7 +1242,7 @@ def _block_bwd_kernel(
                 adjS=adjS, sj=sj, vj=vj, sh=sh, blocks=blocks, deg=deg,
             )
 
-        Fd = fwd_stream(ef_ref, ei, ejt, b1d_ref, P)
+        Fd = fwd_stream(ef_ref, ei, None, b1d_ref, P, reps=N)
         Fb = fwd_stream(bf_ref, ebd_ref[k].astype(cdt), ebsT_ref[k].astype(cdt), b1b_ref, B)
         inv_deg = 1.0 / jnp.maximum(Fd["deg"] + Fb["deg"], 1.0)
         norm = [((bd + bb) * inv_deg).astype(cdt) for bd, bb in zip(Fd["blocks"], Fb["blocks"])]
