@@ -165,36 +165,56 @@ class E3Conv(nn.Module):
         # kernels enforce (S/V from the hidden layers, which consume it), so
         # it is never dead work when Conv would fall back to the XLA path
         _hsv = (irreps_hidden[0].mul, irreps_hidden[1].mul if len(irreps_hidden) > 1 else 0)
-        from jamun_tpu.ops.pallas.packed_conv import packed_shape_bounds_ok
+        from jamun_tpu.ops.pallas.packed_conv import tiled_shape_bounds_ok
 
+        N_atoms = batch.pos.shape[1]
         if (
             self.use_pallas
             and self.pallas_variant == "packed"
             and self.tensor_product == "uvu"
             and self.atom_axis is None
-            and packed_shape_bounds_ok(batch.pos.shape[1], _hsv[0], _hsv[1])
+            and tiled_shape_bounds_ok(N_atoms, _hsv[0], _hsv[1])
             and not self.is_initializing()
         ):
-            # lane-packed edge features (SH/adjacency/radial basis) are
-            # IDENTICAL for all conv layers of this forward: compute once
+            # per-forward kernel inputs IDENTICAL for all conv layers: compute
+            # once. N <= 128 (gen-3 kernel): lane-packed edge features;
+            # N > 128 (gen-4 tiled kernel): position rows + bond features —
+            # the dense-pair geometry is rebuilt in-kernel per dst block.
             import jax
 
-            from jamun_tpu.ops.pallas.packed_conv import packed_edge_features
+            if N_atoms <= 128:
+                from jamun_tpu.ops.pallas.packed_conv import packed_edge_features
 
-            ef, bf, ebsT, ebd = packed_edge_features(
-                batch.pos,
-                batch.node_mask,
-                batch.bond_src,
-                batch.bond_dst,
-                batch.bond_mask,
-                radial_cutoff,
-                n_radial=radial_dim,
-                interpret=jax.default_backend() not in ("tpu", "axon"),
-                compute_dtype=self.dtype,
-            )
-            edges = edges.replace(
-                ef_packed=ef, bf_packed=bf, ebsT_packed=ebsT, ebd_packed=ebd
-            )
+                ef, bf, ebsT, ebd = packed_edge_features(
+                    batch.pos,
+                    batch.node_mask,
+                    batch.bond_src,
+                    batch.bond_dst,
+                    batch.bond_mask,
+                    radial_cutoff,
+                    n_radial=radial_dim,
+                    interpret=jax.default_backend() not in ("tpu", "axon"),
+                    compute_dtype=self.dtype,
+                )
+                edges = edges.replace(
+                    ef_packed=ef, bf_packed=bf, ebsT_packed=ebsT, ebd_packed=ebd
+                )
+            else:
+                from jamun_tpu.ops.pallas.packed_conv import packed_geometry_inputs
+
+                posm, bf, ebsT, ebd = packed_geometry_inputs(
+                    batch.pos,
+                    batch.node_mask,
+                    batch.bond_src,
+                    batch.bond_dst,
+                    batch.bond_mask,
+                    radial_cutoff,
+                    n_radial=radial_dim,
+                    compute_dtype=self.dtype,
+                )
+                edges = edges.replace(
+                    posm_packed=posm, bf_packed=bf, ebsT_packed=ebsT, ebd_packed=ebd
+                )
 
         if self.use_residue_information:
             embedder = AtomEmbeddingWithResidueInformation(
@@ -277,7 +297,7 @@ class E3Conv(nn.Module):
         with transposed I/O — mirrors `ConvBlock._fused_block_supported` /
         `Conv._pallas_supported` for both the initial projector (V = 0) and
         the hidden layers, plus the l<=1 head the transposed head supports."""
-        from jamun_tpu.ops.pallas.packed_conv import packed_shape_bounds_ok, supports_packed_conv
+        from jamun_tpu.ops.pallas.packed_conv import supports_packed_conv, tiled_shape_bounds_ok
 
         if not (
             self.use_pallas
@@ -303,8 +323,8 @@ class E3Conv(nn.Module):
         return (
             head_ok
             and supports_packed_conv(S_h, V_h, irreps_sh.dim, self.edge_attr_dim, self.edge_attr_dim)
-            and packed_shape_bounds_ok(N, S_h, V_h)
-            and packed_shape_bounds_ok(N, S_emb, 0)
+            and tiled_shape_bounds_ok(N, S_h, V_h)
+            and tiled_shape_bounds_ok(N, S_emb, 0)
         )
 
     def _transposed_head(self, xT, irreps_hidden, irreps_out) -> jnp.ndarray:

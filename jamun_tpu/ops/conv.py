@@ -87,7 +87,10 @@ class Conv(nn.Module):
             return irreps_in[0].mul, irreps_in[1].mul
         return None
 
-    def _pallas_supported(self, node_attr: jnp.ndarray, edges: EdgeData, n_atoms: int = None) -> bool:
+    def _pallas_supported(
+        self, node_attr: jnp.ndarray, edges: EdgeData, n_atoms: int = None,
+        tiled: bool = False,
+    ) -> bool:
         sv = self._sv_shape()
         if sv is None:
             return False
@@ -101,13 +104,17 @@ class Conv(nn.Module):
 
         shapes_ok = self.radial_hidden is None or list(self.radial_hidden) == [self.edge_attr_dim]
         # backend-aware shape bounds (shared with the E3Conv edge-feature
-        # precompute gate): measured viable from 2AA scale (N=24) up to the
-        # N=128 VMEM ceiling; larger molecules take the XLA fast path or the
-        # atom-sharded mesh mode (parallel/atom_sharded.py).
+        # precompute gate). `tiled` (the gen-4 fused-block kernel) has no
+        # N <= 128 VMEM ceiling — the dense pair panel is streamed per dst
+        # block; the standalone layer kernel keeps the round-2 bounds.
         if self.pallas_variant == "packed":
-            from jamun_tpu.ops.pallas.packed_conv import packed_shape_bounds_ok
+            from jamun_tpu.ops.pallas.packed_conv import (
+                packed_shape_bounds_ok,
+                tiled_shape_bounds_ok,
+            )
 
-            shapes_ok = shapes_ok and packed_shape_bounds_ok(n_atoms, S, V)
+            bounds = tiled_shape_bounds_ok if tiled else packed_shape_bounds_ok
+            shapes_ok = shapes_ok and bounds(n_atoms, S, V)
         elif jax.default_backend() in ("tpu", "axon"):
             shapes_ok = shapes_ok and 16 <= n_atoms <= 128 and S >= 32 and (V == 0 or V >= 16)
         return (
@@ -365,7 +372,7 @@ class ConvBlock(nn.Module):
         return (
             canonical
             and self.pallas_variant == "packed"
-            and conv._pallas_supported(node_attr, edges, n_atoms=n_atoms)
+            and conv._pallas_supported(node_attr, edges, n_atoms=n_atoms, tiled=True)
             and conv._fused_layer_supported(edges)
         )
 
@@ -373,12 +380,15 @@ class ConvBlock(nn.Module):
         self, conv: Conv, gate: Gate, node_attr, edges,
         transposed_in: bool = False, transposed_out: bool = False,
     ) -> jnp.ndarray:
-        """Run the whole block (conv + gate + linear + linear skip) in the
-        fused kernel, reading the (init-created) child params by name."""
-        from jamun_tpu.ops.pallas.packed_conv import (
-            packed_edge_features,
-            packed_separable_conv_layer,
-        )
+        """Run the whole block (conv + gate + linear + linear skip) in ONE
+        fused kernel, reading the (init-created) child params by name.
+
+        Generation dispatch (measured on v5e, BENCH_NOTES round 3): N <= 128
+        runs the gen-3 kernel (per-forward edge-feature precompute — the HBM
+        read pipelines for free and beats in-kernel recompute); N > 128 runs
+        the gen-4 dst-block-tiled kernel (geometry in-kernel; no N^2 HBM
+        array, no VMEM ceiling)."""
+        from jamun_tpu.ops.pallas import packed_conv as pk
 
         cdt = self.dtype or node_attr.dtype
         out_dtype = node_attr.dtype
@@ -387,34 +397,8 @@ class ConvBlock(nn.Module):
         interpret = jax.default_backend() not in ("tpu", "axon")
         cp = self.get_variable("params", "Conv_0")
         rp = cp["radial_nn"]
-        if edges.ef_packed is not None:
-            ef, bf, ebsT, ebd = (
-                edges.ef_packed, edges.bf_packed, edges.ebsT_packed, edges.ebd_packed
-            )
-        else:
-            ef, bf, ebsT, ebd = packed_edge_features(
-                edges.pos,
-                edges.node_mask,
-                edges.bond_src,
-                edges.bond_dst,
-                edges.bond_mask > 0,
-                edges.radial_cutoff,
-                n_radial=n_radial,
-                interpret=interpret,
-                compute_dtype=self.dtype,
-            )
-        out_blocks = tuple((mi.mul, mi.ir.l) for mi in Irreps(gate.irreps_in))
-        from jamun_tpu.ops.pallas.packed_conv import make_trainable_conv_block
-
-        # custom-VJP wrapper: forward = fused kernel, backward = the
-        # hand-written backward kernel — the block is fully trainable
-        fn = make_trainable_conv_block(
-            S, V, out_blocks, n_radial, interpret, self.dtype,
-            transposed_in=transposed_in, transposed_out=transposed_out,
-        )
-        out = fn(
-            node_attr.astype(cdt),
-            ef, bf, ebsT, ebd,
+        n_atoms = node_attr.shape[-1] if transposed_in else node_attr.shape[1]
+        weights = (
             rp["Dense_0"]["kernel"],
             rp["Dense_0"]["bias"],
             rp["Dense_1"]["kernel"],
@@ -425,4 +409,50 @@ class ConvBlock(nn.Module):
             dict(self.get_variable("params", "IrrepsLinear_1")),
             dict(self.get_variable("params", "IrrepsLinear_0")),
         )
+        out_blocks = tuple((mi.mul, mi.ir.l) for mi in Irreps(gate.irreps_in))
+        mk_kwargs = (
+            S, V, out_blocks, n_radial, interpret, self.dtype,
+        )
+        tkw = dict(transposed_in=transposed_in, transposed_out=transposed_out)
+
+        if n_atoms <= 128:
+            if edges.ef_packed is not None:
+                ef, bf, ebsT, ebd = (
+                    edges.ef_packed, edges.bf_packed, edges.ebsT_packed, edges.ebd_packed
+                )
+            else:
+                ef, bf, ebsT, ebd = pk.packed_edge_features(
+                    edges.pos,
+                    edges.node_mask,
+                    edges.bond_src,
+                    edges.bond_dst,
+                    edges.bond_mask > 0,
+                    edges.radial_cutoff,
+                    n_radial=n_radial,
+                    interpret=interpret,
+                    compute_dtype=self.dtype,
+                )
+            fn = pk.make_trainable_conv_block(*mk_kwargs, **tkw)
+            out = fn(node_attr.astype(cdt), ef, bf, ebsT, ebd, *weights)
+        else:
+            if edges.posm_packed is not None:
+                posm, bf, ebsT, ebd = (
+                    edges.posm_packed, edges.bf_packed, edges.ebsT_packed, edges.ebd_packed
+                )
+            else:
+                posm, bf, ebsT, ebd = pk.packed_geometry_inputs(
+                    edges.pos,
+                    edges.node_mask,
+                    edges.bond_src,
+                    edges.bond_dst,
+                    edges.bond_mask > 0,
+                    edges.radial_cutoff,
+                    n_radial=n_radial,
+                    compute_dtype=self.dtype,
+                )
+            fn = pk.make_trainable_conv_block_v2(*mk_kwargs, **tkw)
+            out = fn(
+                node_attr.astype(cdt), posm, bf, ebsT, ebd, *weights,
+                edges.radial_cutoff,
+            )
         return out.astype(out_dtype)

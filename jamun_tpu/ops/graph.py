@@ -93,6 +93,8 @@ class EdgeData:
     bf_packed: Optional[jnp.ndarray] = None  # [G, EFR, B]
     ebsT_packed: Optional[jnp.ndarray] = None  # [G, N, B]
     ebd_packed: Optional[jnp.ndarray] = None  # [G, B, N]
+    posm_packed: Optional[jnp.ndarray] = None  # [G, 8, N] position/mask rows
+    # (gen-4 kernel: dense-pair geometry is rebuilt in-kernel from these)
 
 
 def dense_edge_data(

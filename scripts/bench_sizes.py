@@ -19,6 +19,10 @@ SIZES = {
     "2AA": (256, 24, 19, 2.2),
     "4AA": (256, 48, 44, 2.5),
     "5AA": (128, 112, 108, 7.5),
+    # beyond the reference's published sizes (no baseline): the gen-4 tiled
+    # kernel regime / the costed story for train_idrome-scale molecules
+    "N256": (64, 256, 250, None),
+    "N512": (16, 512, 500, None),
 }
 
 
@@ -70,9 +74,10 @@ def main():
         jax.block_until_ready(out[0])
         t = time.perf_counter() - t0
         ms = t * 1e3 / (G * 101)
+        vs = f"= {ref_ms/ms:.1f}x the reference's {ref_ms} ms" if ref_ms else "(no published baseline)"
         print(
             f"{label} (G={G}, N={N}): compile {c:.1f}s  {t*1e3/100:.3f} ms/step  "
-            f"{ms:.5f} ms/sample  = {ref_ms/ms:.1f}x the reference's {ref_ms} ms",
+            f"{ms:.5f} ms/sample  {vs}",
             flush=True,
         )
 

@@ -308,3 +308,108 @@ def test_chained_transposed_grad_parity():
     )
     worst = max(jtu.tree_leaves(errs))
     assert worst < 5e-4, f"worst relative grad error {worst}"
+
+
+def _tiled_e3conv_pair(N):
+    from jamun_tpu.models.e3conv import E3Conv
+
+    kwargs = dict(
+        irreps_hidden=f"{S}x0e + {V}x1e", n_layers=2, edge_attr_dim=64,
+        atom_type_embedding_dim=4, atom_code_embedding_dim=4,
+        residue_code_embedding_dim=4, residue_index_embedding_dim=4,
+        tensor_product="uvu",
+    )
+    ref = E3Conv(**kwargs, use_pallas=False)
+    pal = E3Conv(**kwargs, use_pallas=True)
+    batch = make_test_batch(
+        num_graphs=2, max_nodes=N, nodes_per_graph=[N - 6, N], max_bonds=2 * N, scale=0.6
+    )
+    c_noise = jnp.asarray([jnp.log(0.04) / 4.0])
+    cutoff = jnp.asarray(0.9)
+    params = jax.jit(ref.init)(jax.random.PRNGKey(0), batch, c_noise, cutoff)
+    params = jax.tree.map(lambda p: p + 0.5 if p.ndim == 0 else p, params)
+    return ref, pal, params, batch, c_noise, cutoff
+
+
+def test_tiled_kernel_forward_parity_beyond_128():
+    """The gen-4 dst-block-tiled kernel (N = 160 > the old N <= 128 VMEM
+    ceiling, 2 dst blocks) matches the XLA path at the full-E3Conv level."""
+    from jamun_tpu.ops.pallas.packed_conv import _auto_dst_block
+
+    assert _auto_dst_block(160) == 80  # 2 dst blocks: the tiling is exercised
+    ref, pal, params, batch, c_noise, cutoff = _tiled_e3conv_pair(160)
+    out_ref = np.asarray(jax.jit(ref.apply)(params, batch, c_noise, cutoff))
+    out_pal = np.asarray(jax.jit(pal.apply)(params, batch, c_noise, cutoff))
+    np.testing.assert_allclose(out_pal, out_ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_tiled_kernel_grad_parity_beyond_128():
+    """jax.grad through the tiled regime (N > 128) takes the XLA-reference
+    VJP fallback and matches XLA autodiff of the module path."""
+    import jax.tree_util as jtu
+
+    ref, pal, params, batch, c_noise, cutoff = _tiled_e3conv_pair(160)
+    rng = np.random.default_rng(3)
+    cot = jnp.asarray(
+        rng.standard_normal((2, batch.pos.shape[1], Irreps("1x1e").dim)).astype(np.float32)
+    )
+    gr = jax.grad(lambda p: jnp.sum(ref.apply(p, batch, c_noise, cutoff) * cot))(params)
+    gp = jax.grad(lambda p: jnp.sum(pal.apply(p, batch, c_noise, cutoff) * cot))(params)
+    errs = jtu.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b)) / (1e-6 + jnp.max(jnp.abs(a)))), gr, gp
+    )
+    worst = max(jtu.tree_leaves(errs))
+    assert worst < 5e-4, f"worst relative grad error {worst}"
+
+
+def test_v2_xla_reference_matches_kernel():
+    """The shared-body XLA reference (`xla_reference=True`) agrees with the
+    interpret-mode kernel bit-for-bit-close — the compile-anywhere oracle."""
+    from jamun_tpu.ops.pallas.packed_conv import (
+        packed_fused_block_v2,
+        packed_geometry_inputs,
+    )
+
+    rng = np.random.default_rng(5)
+    N = 32
+    batch = make_test_batch(
+        num_graphs=2, max_nodes=N, nodes_per_graph=[N - 3, N], max_bonds=2 * N, scale=0.5
+    )
+    cutoff = jnp.asarray(0.9)
+    n_radial = 32
+    posm, bf, ebsT, ebd = packed_geometry_inputs(
+        batch.pos, batch.node_mask, batch.bond_src, batch.bond_dst,
+        batch.bond_mask, cutoff, n_radial=n_radial,
+    )
+    x = jnp.asarray(rng.standard_normal((2, N, S + 3 * V)).astype(np.float32))
+    Sc, Gt, Vg = 16, 8, 8
+    out_blocks = ((Sc, 0), (Gt, 0), (Vg, 1))
+    w1 = jnp.asarray(rng.standard_normal((32 + n_radial, 64)).astype(np.float32)) * 0.2
+    b1 = jnp.asarray(rng.standard_normal(64).astype(np.float32)) * 0.1
+    w2 = jnp.asarray(rng.standard_normal((64, 2 * S + 3 * V)).astype(np.float32)) * 0.2
+    b2 = jnp.asarray(rng.standard_normal(2 * S + 3 * V).astype(np.float32)) * 0.1
+    bond0 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    bond1 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    plp = {
+        "w_0_0": jnp.asarray(rng.standard_normal((S, Sc)).astype(np.float32)),
+        "w_3_0": jnp.asarray(rng.standard_normal((V, Sc)).astype(np.float32)),
+        "w_0_1": jnp.asarray(rng.standard_normal((S, Gt)).astype(np.float32)),
+        "w_3_1": jnp.asarray(rng.standard_normal((V, Gt)).astype(np.float32)),
+        "w_1_2": jnp.asarray(rng.standard_normal((S, Vg)).astype(np.float32)),
+        "w_2_2": jnp.asarray(rng.standard_normal((V, Vg)).astype(np.float32)),
+        "w_4_2": jnp.asarray(rng.standard_normal((V, Vg)).astype(np.float32)),
+    }
+    l2p = {
+        "w_0_0": jnp.asarray(rng.standard_normal((Sc, Sc)).astype(np.float32)),
+        "w_1_1": jnp.asarray(rng.standard_normal((Vg, Vg)).astype(np.float32)),
+    }
+    skp = {
+        "w_0_0": jnp.asarray(rng.standard_normal((S, Sc)).astype(np.float32)),
+        "w_1_1": jnp.asarray(rng.standard_normal((V, Vg)).astype(np.float32)),
+    }
+    kw = dict(S=S, V=V, out_blocks=out_blocks, n_radial=n_radial, interpret=True)
+    args = (x, posm, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp, l2p, skp, cutoff)
+    out_k = np.asarray(packed_fused_block_v2(*args, **kw))
+    out_r = np.asarray(packed_fused_block_v2(*args, **kw, xla_reference=True))
+    np.testing.assert_allclose(out_k, out_r, atol=1e-5, rtol=1e-5)
