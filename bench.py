@@ -110,10 +110,76 @@ def main():
         "unit": "ms/sample",
         "vs_baseline": round(BASELINE_MS_PER_SAMPLE / ms_per_sample, 2),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     log(
         f"chains={NUM_CHAINS} frames={n_frames} walk_jump={elapsed:.3f}s "
         f"steps/sec/chip={(STEPS - 1) / elapsed:.1f} (x{NUM_CHAINS} chains)"
+    )
+
+    if "--quick" in sys.argv:
+        return
+
+    # --- steady-state: the reference-shaped 20k-step uncapped workload ---
+    # (`/root/reference/configs/experiment/sample_uncapped_2AA.yaml:16`), every
+    # step saved, trajectories materialized in HBM (real memory pressure).
+    # Host drain is excluded here: through the axon tunnel device->host is
+    # ~100x slower than a local TPU host (BENCH_NOTES), so including it would
+    # measure the tunnel, not the chip; pass --offload CHUNK to measure the
+    # chunked-drain variant anyway.
+    ss_steps = 20000
+    if "--steps" in sys.argv:
+        ss_steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    offload = 0
+    if "--offload" in sys.argv:
+        offload = int(sys.argv[sys.argv.index("--offload") + 1])
+    # segment the scan regardless: a single 20k-frame trajectory pair
+    # (~6 GB) faults the device; 2k-step segments match the offload
+    # chunking real runs use (sampling/walkjump.py offload_chunk_steps)
+    seg_steps = offload if offload else min(ss_steps, 2000)
+    n_seg = max(1, ss_steps // seg_steps)
+
+    mcmc_ss = BAOAB(
+        MCMCConfig(
+            delta=0.04, friction=1.0, M=1.0, steps=seg_steps + 1,
+            save_every_n_steps=1, score_fn_clip=100.0,
+        )
+    )
+
+    @jax.jit
+    def walk_segment(params, y0, v0, key):
+        def score_fn(y):
+            return den.score(params, batch.replace_pos(y), SIGMA)
+
+        y, v, y_traj, score_traj = mcmc_ss(key, y0, score_fn, v_init=v0, mask=mask)
+        # fused jump folded into a checksum: xhat frames are produced and
+        # reduced on device without materializing a third trajectory
+        checksum = jnp.sum(jnp.abs(y_traj + (SIGMA**2) * score_traj))
+        return y, v, checksum
+
+    log(f"steady-state: {n_seg} x {seg_steps} steps, offload={'on' if offload else 'off'}")
+    v0 = jnp.zeros_like(y)
+    yc, vc, checksum = walk_segment(params, y, v0, jax.random.PRNGKey(7))
+    jax.block_until_ready(checksum)  # compile + warm segment
+    t0 = time.perf_counter()
+    total_frames = 0
+    yc, vc = y, v0
+    for i in range(n_seg):
+        yc, vc, checksum = walk_segment(params, yc, vc, jax.random.PRNGKey(10 + i))
+        if offload:
+            np.asarray(checksum)  # host sync per chunk (drain proxy)
+        total_frames += seg_steps + 1
+    jax.block_until_ready(checksum)
+    ss_elapsed = time.perf_counter() - t0
+    ss_ms = ss_elapsed * 1e3 / (NUM_CHAINS * total_frames)
+    print(json.dumps({
+        "metric": "walkjump_steady_state_ms_per_sample_4AA_20k",
+        "value": round(ss_ms, 5),
+        "unit": "ms/sample",
+        "vs_baseline": round(BASELINE_MS_PER_SAMPLE / ss_ms, 2),
+    }), flush=True)
+    log(
+        f"steady-state {total_frames} frames x {NUM_CHAINS} chains in "
+        f"{ss_elapsed:.1f}s ({ss_elapsed * 1e3 / (n_seg * seg_steps):.3f} ms/step)"
     )
 
 
