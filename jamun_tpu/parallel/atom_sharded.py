@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["atom_sharded_pair_op", "shard_atoms"]
+__all__ = ["atom_sharded_pair_op", "shard_atoms", "atom_sharded_arch_apply", "prepare_atom_sharded_batch", "atom_sharded_forward"]
 
 
 def shard_atoms(arr: jnp.ndarray, mesh: Mesh, axis: int = 0):
@@ -94,21 +94,34 @@ def atom_sharded_arch_apply(arch, mesh: Mesh, params, batch, c_noise, cutoff, ax
     messages into its local dst rows. Output matches the dense single-device
     forward exactly (tests/test_parallel.py). Covers molecules whose [N, N]
     pair work exceeds one chip (IDRome-scale, SURVEY 5.7)."""
+    sharded = prepare_atom_sharded_batch(batch, mesh)
+    return atom_sharded_forward(arch, mesh, params, sharded, c_noise, cutoff, axis_name)
+
+
+def prepare_atom_sharded_batch(batch, mesh: Mesh):
+    """Host-side batch prep for the atom-sharded forward: repartition bonds by
+    dst owner and drop residue-level fields. NOT jittable (Python bond loop);
+    run once per batch, then `atom_sharded_forward` is fully jittable."""
     import numpy as np
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    G, N = batch.pos.shape[:2]
+    N = batch.pos.shape[1]
     if N % n_dev:
         raise ValueError(f"pad atoms to a multiple of {n_dev} first (N={N})")
     n_loc = N // n_dev
     bsrc, bdst, bmask = partition_bonds_by_dst(
         batch.bond_src, batch.bond_dst, batch.bond_mask, n_dev, n_loc
     )
-    sharded = batch.replace(
+    return batch.replace(
         bond_src=jnp.asarray(bsrc), bond_dst=jnp.asarray(bdst), bond_mask=jnp.asarray(bmask),
         residue_atom_index=None, residue_atom_mask=None, residue_ca_index=None,
         residue_mask=None, residue_codes=None,
     )
+
+
+def atom_sharded_forward(arch, mesh: Mesh, params, sharded, c_noise, cutoff, axis_name: str = "data"):
+    """The jittable part of `atom_sharded_arch_apply` (takes a batch already
+    prepared by `prepare_atom_sharded_batch`)."""
     arch_s = arch.clone(atom_axis=axis_name, use_pallas=False)
 
     atom2 = P(None, axis_name)

@@ -91,3 +91,39 @@ def test_atom_sharded_e3conv_exact():
 @pytest.mark.slow
 def test_atom_sharded_e3conv_exact_chignolin_scale():
     _atom_sharded_e3conv_exact(96, [90, 96])
+
+
+def test_dp_train_step_parity():
+    """The same global batch trained on 1 device vs sharded over the 8-device
+    mesh produces identical losses and step counts (the compiler inserts the
+    gradient psum) — the DP-correctness half of SURVEY 5.8."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    import optax
+
+    from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
+    from jamun_tpu.models.e3conv import E3Conv
+    from jamun_tpu.parallel.mesh import make_mesh, shard_batch
+    from jamun_tpu.train.distributions import ConstantSigma
+    from jamun_tpu.train.state import create_train_state, make_train_step
+    from jamun_tpu.utils.testing import make_test_batch
+
+    mesh = make_mesh(len(jax.devices()))
+    arch = E3Conv(
+        irreps_hidden="8x0e + 4x1e", n_layers=2, edge_attr_dim=8,
+        atom_type_embedding_dim=2, atom_code_embedding_dim=2,
+        residue_code_embedding_dim=2, residue_index_embedding_dim=2,
+        tensor_product="uvu",
+    )
+    den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.3))
+    batch = make_test_batch(num_graphs=8, max_nodes=16, scale=0.4)
+    opt = optax.sgd(1e-3)
+    step = jax.jit(make_train_step(den, opt, ConstantSigma(0.05)))
+
+    s1 = create_train_state(den, opt, batch, seed=0)
+    s8 = jax.device_put(s1, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    for i in range(3):
+        s1, aux1 = step(s1, batch)
+        s8, aux8 = step(s8, shard_batch(batch, mesh))
+        np.testing.assert_allclose(float(aux1["loss"]), float(aux8["loss"]), rtol=2e-5)
+    assert int(s1.step) == int(s8.step) == 3
