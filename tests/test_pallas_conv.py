@@ -130,6 +130,7 @@ def test_pallas_e3conv_equivariance():
     assert_arch_equivariant(apply, batch, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_checkpoint_cross_path_sampling_consistency():
     """A checkpoint trained on the XLA path samples consistently when loaded
     into the kernel path (the sample CLI's default behavior)."""
@@ -178,6 +179,7 @@ def test_checkpoint_cross_path_sampling_consistency():
     )
 
 
+@pytest.mark.slow
 def test_pallas_with_scan_layers():
     """nn.scan over the hidden layers slices per-layer params correctly into
     the fused kernel path."""
@@ -201,6 +203,7 @@ def test_pallas_with_scan_layers():
     np.testing.assert_allclose(out_pal, out_ref, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_kernel_path_trainable_grad_parity():
     """The hand-written backward kernel (custom VJP) matches XLA autodiff of
     the reference ConvBlock path for every parameter and the input."""
@@ -270,6 +273,7 @@ def test_kernel_path_train_step():
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_chained_transposed_grad_parity():
     """The zero-transpose chained kernel mode (transposed scaling/skip + head,
     round 3) matches XLA autodiff at the full-E3Conv level for params AND the
@@ -331,6 +335,7 @@ def _tiled_e3conv_pair(N):
     return ref, pal, params, batch, c_noise, cutoff
 
 
+@pytest.mark.slow
 def test_tiled_kernel_forward_parity_beyond_128():
     """The gen-4 dst-block-tiled kernel (N = 160 > the old N <= 128 VMEM
     ceiling, 2 dst blocks) matches the XLA path at the full-E3Conv level."""

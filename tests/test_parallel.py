@@ -82,6 +82,7 @@ def _atom_sharded_e3conv_exact(N, nodes_per_graph):
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_atom_sharded_e3conv_exact():
     # N=48 keeps the fast tier quick (6 local atoms/device still exercises the
     # per-layer halo + ragged masks); chignolin scale runs in the slow tier.
@@ -93,6 +94,7 @@ def test_atom_sharded_e3conv_exact_chignolin_scale():
     _atom_sharded_e3conv_exact(96, [90, 96])
 
 
+@pytest.mark.slow
 def test_dp_train_step_parity():
     """The same global batch trained on 1 device vs sharded over the 8-device
     mesh produces identical losses and step counts (the compiler inserts the

@@ -140,6 +140,7 @@ def test_streaming_without_max_steps_raises(tmp_path_factory, tmp_path):
         Trainer(cfg).fit(_tiny_denoiser(), optax.adam(1e-3), ConstantSigma(0.04), dm)
 
 
+@pytest.mark.slow
 def test_validation_runs_sharded_on_mesh(tmp_path_factory, tmp_path):
     """_validate shards val batches onto the same mesh as training (r2 VERDICT
     weak #4): with num_devices=8 the val pass must execute and produce finite

@@ -76,6 +76,7 @@ def test_mask_keeps_padding_zero():
     assert np.allclose(np.asarray(v)[:, 2:], 0.0)
 
 
+@pytest.mark.slow
 def test_sampler_multidevice_mesh():
     """Chains sharded over the virtual 8-device mesh produce valid samples."""
     import jax as _jax
@@ -110,6 +111,7 @@ def test_sampler_multidevice_mesh():
     assert np.all(np.isfinite(out[0][0]["xhat_traj"]))
 
 
+@pytest.mark.slow
 def test_vesde_through_sampler_driver():
     from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
     from jamun_tpu.models.e3conv import E3Conv
@@ -163,6 +165,7 @@ def test_fused_jump_matches_explicit_jump():
     )
 
 
+@pytest.mark.slow
 def test_chunked_offload_matches_save_grid():
     """sample_chunked drains frames to host on the same absolute save grid as
     the single-scan walk, carries (y, v) across chunk boundaries, and runs

@@ -22,6 +22,7 @@ def test_unrolled_baoab_stationary():
     assert traj.shape[0] == 1 + 2000
 
 
+@pytest.mark.slow
 def test_unrolled_matches_frame_count_with_save_every():
     cfg = MCMCConfig(delta=0.01, steps=101, save_every_n_steps=10)
     walk = UnrolledBAOAB(cfg, chunk_steps=20)
