@@ -86,6 +86,16 @@ _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _TILE = 16  # sublane tile (bf16); f32's 8 divides it
 
 
+def _default_k() -> int:
+    """Graphs per grid program for the fused layer kernel (K). Per-program
+    overhead (~15 us with many small buffers) amortizes over K; VMEM and
+    Mosaic code size grow with it. 8 measured best at round-2 shapes;
+    JAMUN_KGRAPHS overrides for tuning sweeps."""
+    import os
+
+    return int(os.environ.get("JAMUN_KGRAPHS", "8"))
+
+
 def _pad16(c: int) -> int:
     return ((c + _TILE - 1) // _TILE) * _TILE
 
@@ -283,7 +293,7 @@ def packed_uvu_conv_dense(
     n_radial: int = 32,
     interpret: bool = False,
     compute_dtype=None,
-    graphs_per_program: int = 8,  # measured best on v5e (1.35 vs 1.42 ms/call at K=1)
+    graphs_per_program: int | None = None,  # None -> _default_k() (8; JAMUN_KGRAPHS overrides)
     fuse_geometry: bool = True,
     split_agg: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -296,6 +306,8 @@ def packed_uvu_conv_dense(
     cdt = compute_dtype or jnp.float32
     Sp, Vp = _pad16(S), _pad16(V)
 
+    if graphs_per_program is None:
+        graphs_per_program = _default_k()
     K = max(1, min(graphs_per_program, G))
     Gp = ((G + K - 1) // K) * K
     if Gp != G:
@@ -523,7 +535,7 @@ def packed_edge_features(
     n_radial: int = 32,
     interpret: bool = False,
     compute_dtype=None,
-    graphs_per_program: int = 8,
+    graphs_per_program: int | None = None,
 ):
     """Per-forward edge features for the fused conv layers.
 
@@ -569,7 +581,7 @@ def _packed_edge_features_impl(
     n_radial: int = 32,
     interpret: bool = False,
     compute_dtype=None,
-    graphs_per_program: int = 8,
+    graphs_per_program: int | None = None,
 ):
     G, N, _ = pos.shape
     B = bond_src.shape[1]
@@ -597,7 +609,7 @@ def _packed_edge_features_impl(
 
 def _edge_features_pallas(
     posm, ebsT, ebdT, cutoff, *, n_radial, interpret, compute_dtype,
-    graphs_per_program=8,
+    graphs_per_program=None,
 ):
     """The `_edge_feat_kernel` pallas_call on prebuilt position rows and bond
     one-hots. Also used by the v2 VJP to rebuild `ef` for the hand-written
@@ -608,6 +620,8 @@ def _edge_features_pallas(
     cdt = compute_dtype or jnp.float32
     EFR = _ef_rows(n_radial)
 
+    if graphs_per_program is None:
+        graphs_per_program = _default_k()
     K = max(1, min(graphs_per_program, G))
     Gp = ((G + K - 1) // K) * K
     padg = Gp - G
@@ -690,135 +704,165 @@ def _layer_kernel(
     ei = ((offt >= 0) & (offt < N)).astype(cdt)  # [P, N] aggregation one-hot
 
     for k in range(K):
-        def stream(feat_ref, agg_rhs, gatherT, b1_eff, L, reps=None):
-            """One edge stream (dense pairs or bonds): radial MLP -> messages
-            -> aggregated per-path [C, N] blocks + degree row.
-
-            `reps`: dst-major dense pairs gather src features by TILING
-            (sj[:, i*N+j] = nf[:, j]) — a pltpu.repeat copy instead of the
-            [C, N] @ [N, P] one-hot matmul, killing the kernel's only
-            N^3-scaling MXU term. Bonds (arbitrary src) keep the matmul."""
-            shy = feat_ref[k][0:1]
-            shz = feat_ref[k][1:2]
-            shx = feat_ref[k][2:3]
-            adj = feat_ref[k][3:4]
-            radial = feat_ref[k][EF_GEOM : EF_GEOM + n_radial]
-            h32 = (
-                jnp.dot(w1_ref[...], radial, preferred_element_type=f32, precision=prec)
-                + b1_eff[...]
-            )
-            h = (h32 * jax.nn.sigmoid(h32)).astype(cdt)
-            w_all = (
-                jnp.dot(w2_ref[...], h, preferred_element_type=f32, precision=prec)
-                + b2_ref[...]
-            ).astype(cdt)
-
-            def agg(msg):
-                return jnp.dot(msg, agg_rhs, preferred_element_type=f32, precision=prec)
-
-            adjS = jnp.broadcast_to(adj, (Sp, L))
-            if reps is not None:
-                sj = pltpu.repeat(nf_ref[k][0:Sp], reps, axis=1) * adjS
-            else:
-                sj = (
-                    jnp.dot(nf_ref[k][0:Sp], gatherT, preferred_element_type=f32, precision=prec)
-                ).astype(cdt) * adjS
-            w1p = w_all[0:Sp]
-            w2p = w_all[Sp : 2 * Sp]
-            m1 = w1p * sj
-            t2 = w2p * sj
-            shyS = jnp.broadcast_to(shy, (Sp, L))
-            shzS = jnp.broadcast_to(shz, (Sp, L))
-            shxS = jnp.broadcast_to(shx, (Sp, L))
-            blocks = [agg(m1), agg(t2 * shyS), agg(t2 * shzS), agg(t2 * shxS)]
-            if V > 0:
-                if reps is not None:
-                    vj = pltpu.repeat(nf_ref[k][Sp : Sp + 3 * Vp], reps, axis=1)
-                else:
-                    vj = (
-                        jnp.dot(
-                            nf_ref[k][Sp : Sp + 3 * Vp], gatherT,
-                            preferred_element_type=f32, precision=prec,
-                        )
-                    ).astype(cdt)
-                vj = vj * jnp.broadcast_to(adj, (3 * Vp, L))
-                vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
-                w3p = w_all[2 * Sp : 2 * Sp + Vp]
-                w4p = w_all[2 * Sp + Vp : 2 * Sp + 2 * Vp]
-                w5p = w_all[2 * Sp + 2 * Vp : 2 * Sp + 3 * Vp]
-                sy = jnp.broadcast_to(shy, (Vp, L))
-                sz = jnp.broadcast_to(shz, (Vp, L))
-                sx = jnp.broadcast_to(shx, (Vp, L))
-                dotv = vy * sy + vz * sz + vx * sx
-                blocks += [
-                    agg(w3p * vy),
-                    agg(w3p * vz),
-                    agg(w3p * vx),
-                    agg(w4p * dotv * _INV_SQRT3),
-                    agg(w5p * (vz * sx - vx * sz) * _INV_SQRT2),
-                    agg(w5p * (vx * sy - vy * sx) * _INV_SQRT2),
-                    agg(w5p * (vy * sz - vz * sy) * _INV_SQRT2),
-                ]
-            deg = agg(adj)  # [1, N]
-            return blocks, deg
-
-        blocks_d, deg_d = stream(ef_ref, ei, None, b1d_ref, P, reps=N)
-        blocks_b, deg_b = stream(bf_ref, ebd_ref[k].astype(cdt), ebsT_ref[k].astype(cdt), b1b_ref, B)
-
-        inv_deg = 1.0 / jnp.maximum(deg_d + deg_b, 1.0)  # [1, N]
-        norm = [
-            ((bd + bb) * inv_deg).astype(cdt) for bd, bb in zip(blocks_d, blocks_b)
-        ]
-        if V > 0:
-            o1n, o2y, o2z, o2x, o3y, o3z, o3x, o4n, o5y, o5z, o5x = norm
-            in0 = jnp.concatenate([o1n, o4n], axis=0)  # [Sp + Vp, N]
-            in1 = [
-                jnp.concatenate([a, b, c], axis=0)  # [Sp + 2Vp, N]
-                for a, b, c in ((o2y, o3y, o5y), (o2z, o3z, o5z), (o2x, o3x, o5x))
-            ]
-        else:
-            o1n, o2y, o2z, o2x = norm
-            in0 = o1n
-            in1 = [o2y, o2z, o2x]
-
-        if not fuse_block:
-            out_ref[k, 0:C0p] = jnp.dot(
-                pl0_ref[...], in0, preferred_element_type=f32, precision=prec
-            )
-            if V1 > 0:
-                for c in range(3):
-                    out_ref[k, C0p + c * V1p : C0p + (c + 1) * V1p] = jnp.dot(
-                        pl1_ref[...], in1[c], preferred_element_type=f32, precision=prec
-                    )
-            continue
-
-        # --- fused ConvBlock completion: gate -> linear -> + linear skip ---
-        # post-linear with per-block row slots [scalars Scp | gates Gtp]
-        conv0 = jnp.dot(pl0_ref[...], in0, preferred_element_type=f32, precision=prec)
-        conv1 = [
-            jnp.dot(pl1_ref[...], in1[c], preferred_element_type=f32, precision=prec)
-            for c in range(3)
-        ]  # [Vgp, N] each
-        # Gate (reference defaults): LeakyReLU(0.01) scalars, sigmoid gates
-        scal = jax.nn.leaky_relu(conv0[0:Scp], 0.01).astype(cdt)
-        gates = jax.nn.sigmoid(conv0[Scp : Scp + Gtp])
-        gated = [(conv1[c] * gates[0:Vgp]).astype(cdt) for c in range(3)]
-        # second linear + linear skip of the (scaled) block input
-        out0 = jnp.dot(lin20_ref[...], scal, preferred_element_type=f32, precision=prec)
-        out0 = out0 + jnp.dot(
-            sk0_ref[...], nf_ref[k][0:Sp], preferred_element_type=f32, precision=prec
+        out = _conv_block_body(
+            nf_ref[k][...], ef_ref[k][...], bf_ref[k][...],
+            ebsT_ref[k][...], ebd_ref[k][...],
+            w1_ref[...], b1d_ref[...], b1b_ref[...], w2_ref[...], b2_ref[...],
+            pl0_ref[...], pl1_ref[...],
+            lin20_ref[...] if fuse_block else None,
+            lin21_ref[...] if fuse_block else None,
+            sk0_ref[...] if fuse_block else None,
+            sk1_ref[...] if fuse_block else None,
+            N=N, B=B, S=S, V=V, n_radial=n_radial, C0=C0, V1=V1,
+            fuse_block=fuse_block, gate_shape=gate_shape, ei=ei,
         )
-        out_ref[k, 0:Scp] = out0
-        for c in range(3):
-            o1 = jnp.dot(lin21_ref[...], gated[c], preferred_element_type=f32, precision=prec)
-            if V > 0:
-                o1 = o1 + jnp.dot(
-                    sk1_ref[...],
-                    nf_ref[k][Sp + c * Vp : Sp + (c + 1) * Vp],
-                    preferred_element_type=f32,
-                    precision=prec,
+        out_ref[k] = out
+
+
+def _conv_block_body(
+    nf, ef, bf, ebsT, ebd,
+    w1, b1d, b1b, w2, b2, pl0, pl1,
+    lin20, lin21, sk0, sk1,
+    *, N, B, S, V, n_radial, C0, V1, fuse_block, gate_shape, ei,
+):
+    """One graph's COMPLETE fused conv layer (or whole ConvBlock when
+    `fuse_block`) on plain jnp values in the transposed [C, *] layout —
+    the shared body of the per-layer kernel (`_layer_kernel`) and the
+    whole-model stack kernel (`_stack_kernel`).
+
+    Returns [C0p + 3*V1p, N] f32 (or [Scp + 3*Vgp, N] with fuse_block)."""
+    f32 = jnp.float32
+    cdt = nf.dtype
+    P = N * N
+    Sp, Vp = _pad16(S), _pad16(V)
+    C0p, V1p = _pad16(C0), _pad16(V1)
+    prec = matmul_precision(cdt)
+    if fuse_block:
+        Sc, Gt, Vg = gate_shape
+        Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
+
+    def stream(feat, agg_rhs, gatherT, b1_eff, L, reps=None):
+        """One edge stream (dense pairs or bonds): radial MLP -> messages
+        -> aggregated per-path [C, N] blocks + degree row.
+
+        `reps`: dst-major dense pairs gather src features by TILING
+        (sj[:, i*N+j] = nf[:, j]) — a pltpu.repeat copy instead of the
+        [C, N] @ [N, P] one-hot matmul, killing the kernel's only
+        N^3-scaling MXU term. Bonds (arbitrary src) keep the matmul."""
+        shy = feat[0:1]
+        shz = feat[1:2]
+        shx = feat[2:3]
+        adj = feat[3:4]
+        radial = feat[EF_GEOM : EF_GEOM + n_radial]
+        h32 = jnp.dot(w1, radial, preferred_element_type=f32, precision=prec) + b1_eff
+        h = (h32 * jax.nn.sigmoid(h32)).astype(cdt)
+        w_all = (
+            jnp.dot(w2, h, preferred_element_type=f32, precision=prec) + b2
+        ).astype(cdt)
+
+        def agg(msg):
+            return jnp.dot(msg, agg_rhs, preferred_element_type=f32, precision=prec)
+
+        adjS = jnp.broadcast_to(adj, (Sp, L))
+        if reps is not None:
+            sj = pltpu.repeat(nf[0:Sp], reps, axis=1) * adjS
+        else:
+            sj = (
+                jnp.dot(nf[0:Sp], gatherT, preferred_element_type=f32, precision=prec)
+            ).astype(cdt) * adjS
+        w1p = w_all[0:Sp]
+        w2p = w_all[Sp : 2 * Sp]
+        m1 = w1p * sj
+        t2 = w2p * sj
+        shyS = jnp.broadcast_to(shy, (Sp, L))
+        shzS = jnp.broadcast_to(shz, (Sp, L))
+        shxS = jnp.broadcast_to(shx, (Sp, L))
+        blocks = [agg(m1), agg(t2 * shyS), agg(t2 * shzS), agg(t2 * shxS)]
+        if V > 0:
+            if reps is not None:
+                vj = pltpu.repeat(nf[Sp : Sp + 3 * Vp], reps, axis=1)
+            else:
+                vj = (
+                    jnp.dot(
+                        nf[Sp : Sp + 3 * Vp], gatherT,
+                        preferred_element_type=f32, precision=prec,
+                    )
+                ).astype(cdt)
+            vj = vj * jnp.broadcast_to(adj, (3 * Vp, L))
+            vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
+            w3p = w_all[2 * Sp : 2 * Sp + Vp]
+            w4p = w_all[2 * Sp + Vp : 2 * Sp + 2 * Vp]
+            w5p = w_all[2 * Sp + 2 * Vp : 2 * Sp + 3 * Vp]
+            sy = jnp.broadcast_to(shy, (Vp, L))
+            sz = jnp.broadcast_to(shz, (Vp, L))
+            sx = jnp.broadcast_to(shx, (Vp, L))
+            dotv = vy * sy + vz * sz + vx * sx
+            blocks += [
+                agg(w3p * vy),
+                agg(w3p * vz),
+                agg(w3p * vx),
+                agg(w4p * dotv * _INV_SQRT3),
+                agg(w5p * (vz * sx - vx * sz) * _INV_SQRT2),
+                agg(w5p * (vx * sy - vy * sx) * _INV_SQRT2),
+                agg(w5p * (vy * sz - vz * sy) * _INV_SQRT2),
+            ]
+        deg = agg(adj)  # [1, N]
+        return blocks, deg
+
+    blocks_d, deg_d = stream(ef, ei, None, b1d, P, reps=N)
+    blocks_b, deg_b = stream(bf, ebd.astype(cdt), ebsT.astype(cdt), b1b, B)
+
+    inv_deg = 1.0 / jnp.maximum(deg_d + deg_b, 1.0)  # [1, N]
+    norm = [
+        ((bd + bb) * inv_deg).astype(cdt) for bd, bb in zip(blocks_d, blocks_b)
+    ]
+    if V > 0:
+        o1n, o2y, o2z, o2x, o3y, o3z, o3x, o4n, o5y, o5z, o5x = norm
+        in0 = jnp.concatenate([o1n, o4n], axis=0)  # [Sp + Vp, N]
+        in1 = [
+            jnp.concatenate([a, b, c], axis=0)  # [Sp + 2Vp, N]
+            for a, b, c in ((o2y, o3y, o5y), (o2z, o3z, o5z), (o2x, o3x, o5x))
+        ]
+    else:
+        o1n, o2y, o2z, o2x = norm
+        in0 = o1n
+        in1 = [o2y, o2z, o2x]
+
+    if not fuse_block:
+        parts = [jnp.dot(pl0, in0, preferred_element_type=f32, precision=prec)]
+        if V1 > 0:
+            for c in range(3):
+                parts.append(
+                    jnp.dot(pl1, in1[c], preferred_element_type=f32, precision=prec)
                 )
-            out_ref[k, Scp + c * Vgp : Scp + (c + 1) * Vgp] = o1
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    # --- fused ConvBlock completion: gate -> linear -> + linear skip ---
+    # post-linear with per-block row slots [scalars Scp | gates Gtp]
+    conv0 = jnp.dot(pl0, in0, preferred_element_type=f32, precision=prec)
+    conv1 = [
+        jnp.dot(pl1, in1[c], preferred_element_type=f32, precision=prec)
+        for c in range(3)
+    ]  # [Vgp, N] each
+    # Gate (reference defaults): LeakyReLU(0.01) scalars, sigmoid gates
+    scal = jax.nn.leaky_relu(conv0[0:Scp], 0.01).astype(cdt)
+    gates = jax.nn.sigmoid(conv0[Scp : Scp + Gtp])
+    gated = [(conv1[c] * gates[0:Vgp]).astype(cdt) for c in range(3)]
+    # second linear + linear skip of the (scaled) block input
+    out0 = jnp.dot(lin20, scal, preferred_element_type=f32, precision=prec)
+    out0 = out0 + jnp.dot(sk0, nf[0:Sp], preferred_element_type=f32, precision=prec)
+    parts = [out0]
+    for c in range(3):
+        o1 = jnp.dot(lin21, gated[c], preferred_element_type=f32, precision=prec)
+        if V > 0:
+            o1 = o1 + jnp.dot(
+                sk1,
+                nf[Sp + c * Vp : Sp + (c + 1) * Vp],
+                preferred_element_type=f32,
+                precision=prec,
+            )
+        parts.append(o1)
+    return jnp.concatenate(parts, axis=0)
 
 
 def pack_features_transposed(x: jnp.ndarray, S: int, V: int, cdt) -> jnp.ndarray:
@@ -852,95 +896,30 @@ def unpack_features_transposed(xT: jnp.ndarray, S: int, V: int) -> jnp.ndarray:
     return jnp.concatenate(out, axis=-1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "S", "V", "out_blocks", "n_radial", "interpret", "compute_dtype",
-        "graphs_per_program", "fuse_block", "transposed_in", "transposed_out",
-    ),
-)
-def packed_separable_conv_layer(
-    x: jnp.ndarray,          # [G, N, S + 3V] packed irreps node features
-                             # (transposed_in: [G, Sp + 3*Vp, N] instead)
-    ef: jnp.ndarray,         # [G, EFR, P] edge features (packed_edge_features)
-    bf: jnp.ndarray,         # [G, EFR, B]
-    ebsT: jnp.ndarray,       # [G, N, B]
-    ebd: jnp.ndarray,        # [G, B, N]
-    w1: jnp.ndarray,         # [64, 64] radial layer 1 (bond rows first)
-    b1: jnp.ndarray,         # [64]
-    w2: jnp.ndarray,         # [64, 2S + 3V]
-    b2: jnp.ndarray,         # [2S + 3V]
-    bond0: jnp.ndarray,      # [32] bondedness-0 embedding row
-    bond1: jnp.ndarray,      # [32] bondedness-1 embedding row
-    pl_params,               # dict of post-linear params w_{i_in}_{i_out}
-    S: int,
-    V: int,
-    out_blocks,              # tuple of (mul, l) for irreps_out, in order
-    n_radial: int = 32,
-    interpret: bool = False,
-    compute_dtype=None,
-    graphs_per_program: int = 8,
-    fuse_block: bool = False,
-    lin2_params=None,        # fuse_block: IrrepsLinear params of the 2nd linear
-    skip_params=None,        # fuse_block: IrrepsLinear params of the linear skip
-    transposed_in: bool = False,   # x is already [G, Sp + 3*Vp, N] (kernel-native)
-    transposed_out: bool = False,  # return raw [G, Cp_out, N] (fuse_block only)
-) -> jnp.ndarray:
-    """The COMPLETE SeparableConv layer: dense radial conv + bonded edges +
-    mean aggregation + post-linear, fused into one kernel per K graphs.
-    Returns [G, N, irreps_out.dim] in packed irreps layout.
+def _pack_layer_weights(
+    w1, b1, w2, b2, bond0, bond1, pl_params, *,
+    S, V, out_blocks, n_radial, fuse_block, lin2_params, skip_params, cdt,
+):
+    """Kernel-layout weight packing for one fused conv layer / ConvBlock —
+    shared by `packed_separable_conv_layer` and the whole-model stack wrapper
+    (where it is vmapped over the stacked layer axis).
 
-    With `fuse_block` the ENTIRE ConvBlock completes in-kernel: gate
-    nonlinearity, second linear, and the linear skip of the block input
-    (out_blocks must be the canonical gate.irreps_in shape
-    [(Sc,0e),(Gt,0e),(Vg,1e)] with Gt == Vg; returns gate.irreps_out layout
-    [G, N, Sc + 3*Vg]).
-
-    Reference scope: `Conv.forward` incl. torch_scatter aggregation and the
-    SeparableTensorProduct's pointwise o3.Linear — plus, with fuse_block, the
-    whole `ConvBlock` (`/root/reference/src/jamun/e3tools/nn/_conv.py:96-223`,
-    `nn/_tensor_product.py:27-53`).
-
-    `transposed_in` / `transposed_out` (fuse_block only) keep the data in the
-    kernel-native [C, N] layout at the call boundary so consecutive blocks
-    chain with ZERO transposes: when irreps_in == gate.irreps_out (the hidden
-    layers), the raw output [G, Scp + 3*Vgp, N] is directly the next call's
-    input [G, Sp + 3*Vp, N] (padding rows are written as zeros)."""
-    if transposed_out:
-        assert fuse_block, "transposed_out requires fuse_block"
-    if transposed_in:
-        G, _, N = x.shape
-    else:
-        G, N, _ = x.shape
-    B = ebd.shape[1]
+    Returns (gate_shape, ws) with ws =
+      (w1T [64, nr], b1d [64, 1] f32, b1b [64, 1] f32, w2T [Wp, 64],
+       b2T [Wp, 1] f32, pl0T, pl1T[, lin20T, lin21T, sk0T, sk1T])."""
     f32 = jnp.float32
-    cdt = compute_dtype or jnp.float32
     Sp, Vp = _pad16(S), _pad16(V)
-    EFR = _ef_rows(n_radial)
-
     C0 = sum(mul for mul, l in out_blocks if l == 0)
     V1 = sum(mul for mul, l in out_blocks if l == 1)
     C0p, V1p = _pad16(C0), _pad16(V1)
-
-    K = max(1, min(graphs_per_program, G))
-    Gp = ((G + K - 1) // K) * K
-    padg = Gp - G
-    if padg:
-        def padg_fn(a):
-            return jnp.concatenate(
-                [a, jnp.zeros((padg,) + a.shape[1:], a.dtype)], axis=0
-            )
-
-        x, ef, bf, ebsT, ebd = map(padg_fn, (x, ef, bf, ebsT, ebd))
-
-    # --- transposed, slot-padded node features ---
-    nfT = x.astype(cdt) if transposed_in else pack_features_transposed(x, S, V, cdt)
 
     # --- radial weights: bond-embedding folds + transposed row slots ---
     nb = w1.shape[0] - n_radial
     hiP = jax.lax.Precision.HIGHEST
     b1d = b1 + jnp.einsum("i,ij->j", bond0.astype(f32), w1[:nb].astype(f32), precision=hiP)
     b1b = b1 + jnp.einsum("i,ij->j", bond1.astype(f32), w1[:nb].astype(f32), precision=hiP)
+    b1d = b1d.astype(f32)[:, None]
+    b1b = b1b.astype(f32)[:, None]
     w1T = w1[nb:].T.astype(cdt)
     path_dims = (S, S, V, V, V) if V > 0 else (S, S)
     pad_dims = (Sp, Sp, Vp, Vp, Vp) if V > 0 else (Sp, Sp)
@@ -990,64 +969,159 @@ def packed_separable_conv_layer(
             m = jnp.concatenate([m, jnp.zeros((Cp_out - m.shape[0], Inp), cdt)], axis=0)
         return m
 
-    gate_shape = None
-    extra_ws = []
-    if fuse_block:
-        # canonical gate.irreps_in: [(Sc,0e),(Gt,0e),(Vg,1e)] with Gt == Vg
-        assert (
-            len(out_blocks) == 3
-            and out_blocks[0][1] == 0
-            and out_blocks[1][1] == 0
-            and out_blocks[2][1] == 1
-            and out_blocks[1][0] == out_blocks[2][0]
-        ), out_blocks
-        Sc, Gt, Vg = out_blocks[0][0], out_blocks[1][0], out_blocks[2][0]
-        gate_shape = (Sc, Gt, Vg)
-        Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
-
-        # post-linear with PER-BLOCK row slots (gate row sections tile-aligned)
-        def pack_block(j, mul, Cp_rows, ids, dims, pads, fan):
-            cols = []
-            for i_in, d, pd in zip(ids, dims, pads):
-                w = pl_params[f"w_{i_in}_{j}"]
-                wT = w.T.astype(cdt) / math.sqrt(max(fan, 1))
-                if pd != d:
-                    wT = jnp.concatenate([wT, jnp.zeros((mul, pd - d), cdt)], axis=1)
-                cols.append(wT)
-            m = jnp.concatenate(cols, axis=1)
-            if Cp_rows != mul:
-                m = jnp.concatenate([m, jnp.zeros((Cp_rows - mul, m.shape[1]), cdt)], axis=0)
-            return m
-
-        pl0T = jnp.concatenate(
-            [
-                pack_block(0, Sc, Scp, in0_ids, in0_dims, in0_pads, fan0),
-                pack_block(1, Gt, Gtp, in0_ids, in0_dims, in0_pads, fan0),
-            ],
-            axis=0,
-        )  # [Scp + Gtp, In0p]
-        pl1T = pack_block(2, Vg, Vgp, in1_ids, in1_dims, in1_pads, fan1)
-
-        def pad2(m, rows, cols):
-            if m.shape[0] != rows:
-                m = jnp.concatenate([m, jnp.zeros((rows - m.shape[0], m.shape[1]), cdt)], axis=0)
-            if m.shape[1] != cols:
-                m = jnp.concatenate([m, jnp.zeros((m.shape[0], cols - m.shape[1]), cdt)], axis=1)
-            return m
-
-        # second linear: gate.irreps_out [(Sc,0e),(Vg,1e)] -> itself
-        lin20T = pad2(lin2_params["w_0_0"].T.astype(cdt) / math.sqrt(Sc), Scp, Scp)
-        lin21T = pad2(lin2_params["w_1_1"].T.astype(cdt) / math.sqrt(Vg), Vgp, Vgp)
-        # linear skip: irreps_in [(S,0e)(,(V,1e))] -> gate.irreps_out
-        sk0T = pad2(skip_params["w_0_0"].T.astype(cdt) / math.sqrt(max(S, 1)), Scp, Sp)
-        if V > 0:
-            sk1T = pad2(skip_params["w_1_1"].T.astype(cdt) / math.sqrt(V), Vgp, Vp)
-        else:
-            sk1T = jnp.zeros((Vgp, _TILE), cdt)
-        extra_ws = [lin20T, lin21T, sk0T, sk1T]
-    else:
+    if not fuse_block:
         pl0T = pack_pl(0, in0_ids, in0_dims, in0_pads, In0p, C0p, fan0)
         pl1T = pack_pl(1, in1_ids, in1_dims, in1_pads, In1p, max(V1p, _TILE), fan1)
+        return None, (w1T, b1d, b1b, w2T, b2T, pl0T, pl1T)
+
+    # canonical gate.irreps_in: [(Sc,0e),(Gt,0e),(Vg,1e)] with Gt == Vg
+    assert (
+        len(out_blocks) == 3
+        and out_blocks[0][1] == 0
+        and out_blocks[1][1] == 0
+        and out_blocks[2][1] == 1
+        and out_blocks[1][0] == out_blocks[2][0]
+    ), out_blocks
+    Sc, Gt, Vg = out_blocks[0][0], out_blocks[1][0], out_blocks[2][0]
+    gate_shape = (Sc, Gt, Vg)
+    Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
+
+    # post-linear with PER-BLOCK row slots (gate row sections tile-aligned)
+    def pack_block(j, mul, Cp_rows, ids, dims, pads, fan):
+        cols = []
+        for i_in, d, pd in zip(ids, dims, pads):
+            w = pl_params[f"w_{i_in}_{j}"]
+            wT = w.T.astype(cdt) / math.sqrt(max(fan, 1))
+            if pd != d:
+                wT = jnp.concatenate([wT, jnp.zeros((mul, pd - d), cdt)], axis=1)
+            cols.append(wT)
+        m = jnp.concatenate(cols, axis=1)
+        if Cp_rows != mul:
+            m = jnp.concatenate([m, jnp.zeros((Cp_rows - mul, m.shape[1]), cdt)], axis=0)
+        return m
+
+    pl0T = jnp.concatenate(
+        [
+            pack_block(0, Sc, Scp, in0_ids, in0_dims, in0_pads, fan0),
+            pack_block(1, Gt, Gtp, in0_ids, in0_dims, in0_pads, fan0),
+        ],
+        axis=0,
+    )  # [Scp + Gtp, In0p]
+    pl1T = pack_block(2, Vg, Vgp, in1_ids, in1_dims, in1_pads, fan1)
+
+    def pad2(m, rows, cols):
+        if m.shape[0] != rows:
+            m = jnp.concatenate([m, jnp.zeros((rows - m.shape[0], m.shape[1]), cdt)], axis=0)
+        if m.shape[1] != cols:
+            m = jnp.concatenate([m, jnp.zeros((m.shape[0], cols - m.shape[1]), cdt)], axis=1)
+        return m
+
+    # second linear: gate.irreps_out [(Sc,0e),(Vg,1e)] -> itself
+    lin20T = pad2(lin2_params["w_0_0"].T.astype(cdt) / math.sqrt(Sc), Scp, Scp)
+    lin21T = pad2(lin2_params["w_1_1"].T.astype(cdt) / math.sqrt(Vg), Vgp, Vgp)
+    # linear skip: irreps_in [(S,0e)(,(V,1e))] -> gate.irreps_out
+    sk0T = pad2(skip_params["w_0_0"].T.astype(cdt) / math.sqrt(max(S, 1)), Scp, Sp)
+    if V > 0:
+        sk1T = pad2(skip_params["w_1_1"].T.astype(cdt) / math.sqrt(V), Vgp, Vp)
+    else:
+        sk1T = jnp.zeros((Vgp, _TILE), cdt)
+    return gate_shape, (w1T, b1d, b1b, w2T, b2T, pl0T, pl1T, lin20T, lin21T, sk0T, sk1T)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "V", "out_blocks", "n_radial", "interpret", "compute_dtype",
+        "graphs_per_program", "fuse_block", "transposed_in", "transposed_out",
+    ),
+)
+def packed_separable_conv_layer(
+    x: jnp.ndarray,          # [G, N, S + 3V] packed irreps node features
+                             # (transposed_in: [G, Sp + 3*Vp, N] instead)
+    ef: jnp.ndarray,         # [G, EFR, P] edge features (packed_edge_features)
+    bf: jnp.ndarray,         # [G, EFR, B]
+    ebsT: jnp.ndarray,       # [G, N, B]
+    ebd: jnp.ndarray,        # [G, B, N]
+    w1: jnp.ndarray,         # [64, 64] radial layer 1 (bond rows first)
+    b1: jnp.ndarray,         # [64]
+    w2: jnp.ndarray,         # [64, 2S + 3V]
+    b2: jnp.ndarray,         # [2S + 3V]
+    bond0: jnp.ndarray,      # [32] bondedness-0 embedding row
+    bond1: jnp.ndarray,      # [32] bondedness-1 embedding row
+    pl_params,               # dict of post-linear params w_{i_in}_{i_out}
+    S: int,
+    V: int,
+    out_blocks,              # tuple of (mul, l) for irreps_out, in order
+    n_radial: int = 32,
+    interpret: bool = False,
+    compute_dtype=None,
+    graphs_per_program: int | None = None,
+    fuse_block: bool = False,
+    lin2_params=None,        # fuse_block: IrrepsLinear params of the 2nd linear
+    skip_params=None,        # fuse_block: IrrepsLinear params of the linear skip
+    transposed_in: bool = False,   # x is already [G, Sp + 3*Vp, N] (kernel-native)
+    transposed_out: bool = False,  # return raw [G, Cp_out, N] (fuse_block only)
+) -> jnp.ndarray:
+    """The COMPLETE SeparableConv layer: dense radial conv + bonded edges +
+    mean aggregation + post-linear, fused into one kernel per K graphs.
+    Returns [G, N, irreps_out.dim] in packed irreps layout.
+
+    With `fuse_block` the ENTIRE ConvBlock completes in-kernel: gate
+    nonlinearity, second linear, and the linear skip of the block input
+    (out_blocks must be the canonical gate.irreps_in shape
+    [(Sc,0e),(Gt,0e),(Vg,1e)] with Gt == Vg; returns gate.irreps_out layout
+    [G, N, Sc + 3*Vg]).
+
+    Reference scope: `Conv.forward` incl. torch_scatter aggregation and the
+    SeparableTensorProduct's pointwise o3.Linear — plus, with fuse_block, the
+    whole `ConvBlock` (`/root/reference/src/jamun/e3tools/nn/_conv.py:96-223`,
+    `nn/_tensor_product.py:27-53`).
+
+    `transposed_in` / `transposed_out` (fuse_block only) keep the data in the
+    kernel-native [C, N] layout at the call boundary so consecutive blocks
+    chain with ZERO transposes: when irreps_in == gate.irreps_out (the hidden
+    layers), the raw output [G, Scp + 3*Vgp, N] is directly the next call's
+    input [G, Sp + 3*Vp, N] (padding rows are written as zeros)."""
+    if transposed_out:
+        assert fuse_block, "transposed_out requires fuse_block"
+    if transposed_in:
+        G, _, N = x.shape
+    else:
+        G, N, _ = x.shape
+    B = ebd.shape[1]
+    f32 = jnp.float32
+    cdt = compute_dtype or jnp.float32
+    Sp, Vp = _pad16(S), _pad16(V)
+    EFR = _ef_rows(n_radial)
+
+    C0 = sum(mul for mul, l in out_blocks if l == 0)
+    V1 = sum(mul for mul, l in out_blocks if l == 1)
+    C0p, V1p = _pad16(C0), _pad16(V1)
+
+    if graphs_per_program is None:
+        graphs_per_program = _default_k()
+    K = max(1, min(graphs_per_program, G))
+    Gp = ((G + K - 1) // K) * K
+    padg = Gp - G
+    if padg:
+        def padg_fn(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((padg,) + a.shape[1:], a.dtype)], axis=0
+            )
+
+        x, ef, bf, ebsT, ebd = map(padg_fn, (x, ef, bf, ebsT, ebd))
+
+    # --- transposed, slot-padded node features ---
+    nfT = x.astype(cdt) if transposed_in else pack_features_transposed(x, S, V, cdt)
+
+    gate_shape, packed = _pack_layer_weights(
+        w1, b1, w2, b2, bond0, bond1, pl_params,
+        S=S, V=V, out_blocks=out_blocks, n_radial=n_radial,
+        fuse_block=fuse_block, lin2_params=lin2_params, skip_params=skip_params,
+        cdt=cdt,
+    )
+    w1T, b1d, b1b, w2T, b2T, pl0T, pl1T = packed[:7]
+    extra_ws = list(packed[7:])
 
     kernel = functools.partial(
         _layer_kernel, N=N, B=B, S=S, V=V, n_radial=n_radial, K=K, C0=C0, V1=V1,
@@ -1090,7 +1164,7 @@ def packed_separable_conv_layer(
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         nfT, ef, bf, ebsT, ebd,
-        w1T, b1d.astype(f32)[:, None], b1b.astype(f32)[:, None], w2T, b2T, pl0T, pl1T,
+        w1T, b1d, b1b, w2T, b2T, pl0T, pl1T,
         *extra_ws,
     )
     if padg:
@@ -1464,6 +1538,8 @@ def packed_conv_block_bwd(
     Sc, Gt, Vg = out_blocks[0][0], out_blocks[1][0], out_blocks[2][0]
     Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
 
+    if graphs_per_program is None:
+        graphs_per_program = _default_k()
     K = max(1, min(graphs_per_program, G))
     Gp = ((G + K - 1) // K) * K
     padg = Gp - G
@@ -2117,7 +2193,7 @@ def packed_fused_block_v2(
     n_radial: int,
     interpret: bool = False,
     compute_dtype=None,
-    graphs_per_program: int = 8,
+    graphs_per_program: int | None = None,
     dst_block: int = None,
     transposed_in: bool = False,
     transposed_out: bool = False,
@@ -2167,6 +2243,8 @@ def packed_fused_block_v2(
             )
         )(nfT, posm, bf, ebsT_c, ebd_c)
     else:
+        if graphs_per_program is None:
+            graphs_per_program = _default_k()
         K = max(1, min(graphs_per_program, G))
         Gp = ((G + K - 1) // K) * K
         padg = Gp - G

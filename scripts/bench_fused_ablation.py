@@ -226,9 +226,18 @@ def _kernel_srcmajor(nf_ref, ef_ref, w1_ref, b1_ref, w2_ref, b2_ref, pl0_ref,
              ones], axis=0)
         rows = 4 * Sp + 12 * Vp + 8
 
-        acc = jnp.zeros((rows, C), f32)
+        # 8 independent accumulators break the loop-carried dependency chain
+        # (a single-acc version measured SLOWER than the one-hot agg matmuls:
+        # 4.48 vs 4.17 ms/call at N=112 — VPU serialization, not throughput)
+        NACC = 8
+        accs = [jnp.zeros((rows, C), f32) for _ in range(NACC)]
         for s in range(N):
-            acc = acc + (msgs[:, s * C : (s + 1) * C] * xstack[:, s : s + 1]).astype(f32)
+            accs[s % NACC] = accs[s % NACC] + (
+                msgs[:, s * C : (s + 1) * C] * xstack[:, s : s + 1]
+            ).astype(f32)
+        while len(accs) > 1:
+            accs = [a + b for a, b in zip(accs[0::2], accs[1::2])]
+        acc = accs[0]
 
         o1n = acc[0:Sp]
         o2y = acc[Sp : 2 * Sp]

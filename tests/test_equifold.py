@@ -65,7 +65,10 @@ def _pair_geometry(pos):
     return r, rvec
 
 
-@pytest.mark.parametrize("module", ["convnet", "equiformer"])
+@pytest.mark.parametrize(
+    "module",
+    ["convnet", pytest.param("equiformer", marks=pytest.mark.slow)],
+)
 def test_equivariance(module):
     key = jax.random.PRNGKey(0)
     pos, s, v, node_mask, pair_mask = _make_inputs(key)

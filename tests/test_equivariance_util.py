@@ -25,6 +25,7 @@ def _arch_and_batch():
     return arch, params, batch, c_noise, cutoff
 
 
+@pytest.mark.slow
 def test_equivariance_check_rejects_vacuous_zero_output():
     """Fresh arch (zero output gain) must raise, not silently pass."""
     arch, params, batch, c_noise, cutoff = _arch_and_batch()
@@ -32,6 +33,7 @@ def test_equivariance_check_rejects_vacuous_zero_output():
         equivariance_error(jax.jit(lambda b: arch.apply(params, b, c_noise, cutoff)), batch)
 
 
+@pytest.mark.slow
 def test_equivariance_check_nonvacuous_passes():
     arch, params, batch, c_noise, cutoff = _arch_and_batch()
     params = jax.tree.map(lambda p: p + 0.5 if p.ndim == 0 else p, params)

@@ -20,6 +20,7 @@ def test_extract_irreps():
     assert ex.irreps_out.dim == 3
 
 
+@pytest.mark.slow
 def test_attention_equivariance():
     from jamun_tpu.ops.attention import MultiheadAttention
     from jamun_tpu.ops.graph import dense_edge_data
@@ -212,6 +213,7 @@ def test_tica_recovers_slow_mode():
     assert tica.timescales()[0] > tica.timescales()[-1]
 
 
+@pytest.mark.slow
 def test_visualize_denoise_metrics():
     from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
     from jamun_tpu.models.e3conv import E3Conv

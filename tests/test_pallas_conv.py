@@ -87,7 +87,10 @@ def test_packed_conv_scalar_only_matches_xla():
     np.testing.assert_allclose(out_pal, out_ref, atol=2e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("variant", ["packed", "plane"])
+@pytest.mark.parametrize(
+    "variant",
+    ["packed", pytest.param("plane", marks=pytest.mark.slow)],
+)
 def test_pallas_e3conv_matches_xla(variant):
     from jamun_tpu.models.e3conv import E3Conv
 
@@ -110,6 +113,7 @@ def test_pallas_e3conv_matches_xla(variant):
     np.testing.assert_allclose(out_pal, out_ref, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_e3conv_equivariance():
     """The fused kernel path preserves E(3)-equivariance of the full model."""
     from jamun_tpu.models.e3conv import E3Conv
