@@ -106,6 +106,12 @@ class E3Conv(nn.Module):
     # features are all-gathered per conv layer (the halo exchange)
     scan_layers: bool = False  # lax.scan over the n identical hidden layers
     # (one layer compile instead of n; params gain a leading layer axis)
+    fused_stack: bool = False  # SAMPLING-ONLY: run edge features + initial
+    # projector + ALL hidden layers (incl. noise scaling/skip) + the head in
+    # ONE pallas kernel (ops/pallas/e3_stack.py) — no per-layer HBM round
+    # trips or kernel-boundary glue. Params are identical to the layer-by-
+    # layer path (checkpoints interchange); not differentiable — training
+    # configs must leave this off.
 
     @nn.compact
     def __call__(
@@ -168,8 +174,10 @@ class E3Conv(nn.Module):
         from jamun_tpu.ops.pallas.packed_conv import tiled_shape_bounds_ok
 
         N_atoms = batch.pos.shape[1]
+        stack_on = self._stack_ok(batch, irreps_hidden, irreps_sh, irreps_out, c_noise)
         if (
-            self.use_pallas
+            not stack_on  # the stack kernel builds edge features in-kernel
+            and self.use_pallas
             and self.pallas_variant == "packed"
             and self.tensor_product == "uvu"
             and self.atom_axis is None
@@ -242,6 +250,19 @@ class E3Conv(nn.Module):
         chained = self._chained_ok(batch, irreps_node, irreps_hidden, irreps_sh, irreps_out)
 
         node_attr = NoiseConditionalScaling(irreps_node)(node_attr, c_noise)
+
+        if stack_on:
+            # SAMPLING fast path: the ENTIRE remaining forward (edge features,
+            # initial projector, all hidden layers with noise scaling/skips,
+            # EquivariantMLP head) runs in ONE pallas kernel
+            node_attr = self._fused_stack(
+                batch, node_attr, c_noise, radial_cutoff,
+                irreps_hidden, irreps_out, bond_embed,
+            )
+            output_gain = self.param("output_gain", nn.initializers.zeros, ())
+            node_attr = node_attr * output_gain
+            return node_attr * batch.node_mask[..., None]
+
         node_attr = ConvBlock(
             irreps_in=irreps_node,
             irreps_out=irreps_hidden,
@@ -325,6 +346,119 @@ class E3Conv(nn.Module):
             and supports_packed_conv(S_h, V_h, irreps_sh.dim, self.edge_attr_dim, self.edge_attr_dim)
             and tiled_shape_bounds_ok(N, S_h, V_h)
             and tiled_shape_bounds_ok(N, S_emb, 0)
+        )
+
+    def _stack_ok(self, batch, irreps_hidden, irreps_sh, irreps_out, c_noise) -> bool:
+        """True when the whole-model stack kernel (`ops/pallas/e3_stack.py`)
+        can run: the chained fused-block regime at gen-3 sizes (N <= 128),
+        per-layer params addressable by name (no scan stacking), and a single
+        noise level (the walk's case — sampling uses one sigma per step)."""
+        if not (self.fused_stack and not self.scan_layers):
+            return False
+        if not (
+            self.use_pallas
+            and self.pallas_variant == "packed"
+            and self.tensor_product == "uvu"
+            and self.atom_axis is None
+            and not self.is_initializing()
+        ):
+            return False
+        hid = list(irreps_hidden)
+        canonical_hidden = (
+            len(hid) == 2
+            and hid[0].ir.l == 0 and hid[0].ir.p == 1
+            and hid[1].ir.l == 1 and hid[1].ir.p == 1
+            and hid[1].mul > 0
+        )
+        if not canonical_hidden or c_noise.size != 1:
+            return False
+        from jamun_tpu.ops.pallas.e3_stack import stack_supported
+        from jamun_tpu.ops.pallas.packed_conv import supports_packed_conv
+
+        S_emb = (
+            self.atom_type_embedding_dim
+            + self.atom_code_embedding_dim
+            + self.residue_code_embedding_dim
+            + self.residue_index_embedding_dim
+        )
+        S_h, V_h = hid[0].mul, hid[1].mul
+        out_blocks_final = tuple((mi.mul, mi.ir.l) for mi in irreps_out)
+        return supports_packed_conv(
+            S_h, V_h, irreps_sh.dim, self.edge_attr_dim, self.edge_attr_dim
+        ) and stack_supported(batch.pos.shape[1], S_h, V_h, S_emb, out_blocks_final)
+
+    def _fused_stack(
+        self, batch, nf0, c_noise, radial_cutoff, irreps_hidden, irreps_out, bond_embed
+    ) -> jnp.ndarray:
+        """Collect the (init-created) projector / per-layer / head params by
+        name and run the whole forward in one kernel. Param layout is
+        identical to the layer-by-layer path — checkpoints interchange."""
+        import jax
+
+        from jamun_tpu.ops.pallas.e3_stack import packed_e3conv_stack
+
+        S, V = irreps_hidden[0].mul, irreps_hidden[1].mul
+        S_emb = nf0.shape[-1]
+        n_radial = (self.edge_attr_dim + 1) // 2
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+        def block_w(p):
+            cp = p["Conv_0"]
+            rp = cp["radial_nn"]
+            return (
+                rp["Dense_0"]["kernel"], rp["Dense_0"]["bias"],
+                rp["Dense_1"]["kernel"], rp["Dense_1"]["bias"],
+                dict(cp["_post_linear"]),
+                dict(p["IrrepsLinear_1"]),  # second linear
+                dict(p["IrrepsLinear_0"]),  # linear skip
+            )
+
+        proj_w = block_w(self.get_variable("params", "ConvBlock_0"))
+        layer_ps = [
+            self.get_variable("params", f"_HiddenLayer_{i}")
+            for i in range(self.n_layers)
+        ]
+        layers_w = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[block_w(p["ConvBlock_0"]) for p in layer_ps]
+        )
+
+        def scale_mlp(p, c):
+            # _ScalePredictor (num_layers=1): Dense -> selu -> Dense
+            x = c.reshape(-1, 1).astype(jnp.float32)
+            x = x @ p["Dense_0"]["kernel"] + p["Dense_0"]["bias"]
+            x = jax.nn.selu(x)
+            x = x @ p["Dense_1"]["kernel"] + p["Dense_1"]["bias"]
+            return x[0]  # [S + V]
+
+        scales = jnp.stack(
+            [
+                scale_mlp(p["NoiseConditionalScaling_0"]["_ScalePredictor_0"], c_noise)
+                for p in layer_ps
+            ]
+        )
+        skipw = jax.nn.sigmoid(
+            jnp.stack(
+                [
+                    scale_mlp(
+                        p["NoiseConditionalSkipConnection_0"]["_ScalePredictor_0"], c_noise
+                    )
+                    for p in layer_ps
+                ]
+            )
+        )
+
+        hp = self.get_variable("params", "EquivariantMLP_0")
+        head_blk = dict(hp["EquivariantMLPBlock_0"]["IrrepsLinear_0"])
+        head_fin = dict(hp["IrrepsLinear_0"])
+        out_blocks_final = tuple((mi.mul, mi.ir.l) for mi in irreps_out)
+
+        return packed_e3conv_stack(
+            batch.pos, batch.node_mask, batch.bond_src, batch.bond_dst,
+            batch.bond_mask > 0, radial_cutoff, nf0,
+            proj_w, layers_w, scales, skipw, head_blk, head_fin,
+            bond_embed[0], bond_embed[1], out_blocks_final,
+            S=S, V=V, S_emb=S_emb, n_radial=n_radial,
+            interpret=interpret, compute_dtype=self.dtype,
         )
 
     def _transposed_head(self, xT, irreps_hidden, irreps_out) -> jnp.ndarray:

@@ -501,25 +501,41 @@ def _edge_feat_kernel(
     _, eit_f, eye_row = _dense_onehots(N, P, f32)
 
     for k in range(K):
-        # src rows tile along dst-major pairs: a repeat copy, not a matmul
-        pmj = pltpu.repeat(posm_ref[k][...], N, axis=1)
-        pmi = jnp.dot(posm_ref[k], eit_f, preferred_element_type=f32, precision=hi)
-        rel = pmj - pmi  # [8, P]
-        dx, dy, dz = rel[0:1], rel[1:2], rel[2:3]
-        mj, mi = pmj[3:4], pmi[3:4]
-        d2 = dx * dx + dy * dy + dz * dz
-        dist0 = jnp.sqrt(d2 + 1e-12)
-        adj = ((dist0 < cutoff) & (eye_row < 0.5) & (mi > 0) & (mj > 0)).astype(cdt)
-        ef_ref[k], _ = _geom_radial_rows(dx, dy, dz, adj, cutoff, n_radial, cdt)
-
-        # bonds: gather src/dst positions through the (mask-zeroed) one-hots
-        pms = jnp.dot(posm_ref[k], ebsT_ref[k], preferred_element_type=f32, precision=hi)
-        pmd = jnp.dot(posm_ref[k], ebdT_ref[k], preferred_element_type=f32, precision=hi)
-        maskb = jnp.sum(ebsT_ref[k], axis=0, keepdims=True).astype(cdt)  # [1, B]
-        brel = pms - pmd  # bvec = pos[src] - pos[dst] (reference convention)
-        bf_ref[k], _ = _geom_radial_rows(
-            brel[0:1], brel[1:2], brel[2:3], maskb, cutoff, n_radial, cdt
+        ef, bf = _edge_features_body(
+            posm_ref[k][...], ebsT_ref[k][...], ebdT_ref[k][...], cutoff,
+            N=N, n_radial=n_radial, cdt=cdt, eit_f=eit_f, eye_row=eye_row,
         )
+        ef_ref[k] = ef
+        bf_ref[k] = bf
+
+
+def _edge_features_body(posm, ebsT, ebdT, cutoff, *, N, n_radial, cdt, eit_f, eye_row):
+    """One graph's dense-pair + bond edge features on plain jnp values —
+    shared by `_edge_feat_kernel` and the whole-model stack kernel.
+
+    posm [8, N] f32 (x, y, z, mask rows); returns (ef [EFR, N*N], bf [EFR, B])."""
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    # src rows tile along dst-major pairs: a repeat copy, not a matmul
+    pmj = pltpu.repeat(posm, N, axis=1)
+    pmi = jnp.dot(posm, eit_f, preferred_element_type=f32, precision=hi)
+    rel = pmj - pmi  # [8, P]
+    dx, dy, dz = rel[0:1], rel[1:2], rel[2:3]
+    mj, mi = pmj[3:4], pmi[3:4]
+    d2 = dx * dx + dy * dy + dz * dz
+    dist0 = jnp.sqrt(d2 + 1e-12)
+    adj = ((dist0 < cutoff) & (eye_row < 0.5) & (mi > 0) & (mj > 0)).astype(cdt)
+    ef, _ = _geom_radial_rows(dx, dy, dz, adj, cutoff, n_radial, cdt)
+
+    # bonds: gather src/dst positions through the (mask-zeroed) one-hots
+    pms = jnp.dot(posm, ebsT, preferred_element_type=f32, precision=hi)
+    pmd = jnp.dot(posm, ebdT, preferred_element_type=f32, precision=hi)
+    maskb = jnp.sum(ebsT, axis=0, keepdims=True).astype(cdt)  # [1, B]
+    brel = pms - pmd  # bvec = pos[src] - pos[dst] (reference convention)
+    bf, _ = _geom_radial_rows(
+        brel[0:1], brel[1:2], brel[2:3], maskb, cutoff, n_radial, cdt
+    )
+    return ef, bf
 
 
 @functools.partial(

@@ -29,6 +29,12 @@ SIZES = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--stack", action="store_true",
+                    help="whole-model stack kernel (ops/pallas/e3_stack.py)")
+    ap.add_argument("--exact-n", action="store_true",
+                    help="pad N to the heavy-atom count instead of the "
+                    "round number (pair work is O(N^2): 2AA 19 vs 24, "
+                    "4AA 44 vs 48)")
     ap.add_argument("--size", choices=SIZES, default=None)
     args = ap.parse_args()
 
@@ -44,6 +50,8 @@ def main():
     for label, (G, N, NA, ref_ms) in SIZES.items():
         if args.size and label != args.size:
             continue
+        if args.exact_n:
+            N = NA
         batch = make_test_batch(
             num_graphs=G, max_nodes=N, nodes_per_graph=[NA] * G, max_bonds=2 * N,
             scale=0.3 + 0.15 * (N > 48),
@@ -53,7 +61,10 @@ def main():
                        save_every_n_steps=1, score_fn_clip=100.0)
         )
         mask = batch.node_mask[..., None].astype(batch.pos.dtype)
-        arch = E3Conv(tensor_product="uvu", dtype=jnp.bfloat16, use_pallas=not args.no_pallas)
+        arch = E3Conv(
+            tensor_product="uvu", dtype=jnp.bfloat16,
+            use_pallas=not args.no_pallas, fused_stack=args.stack,
+        )
         den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.5))
         params = den.init(jax.random.PRNGKey(0), batch)
 
