@@ -303,7 +303,18 @@ def packed_e3conv_stack(
 
     # --- grid setup ---
     if graphs_per_program is None:
-        graphs_per_program = _default_k()
+        # the stack body is ~7x a single layer kernel's, so Mosaic compile
+        # time scales hard with K; at large N the unrolled program becomes
+        # pathological (observed: 20+ min at N=112, K=8). Per-program grid
+        # overhead (~15 us) is negligible against the multi-ms body, so a
+        # small K at large N trades nothing measurable at runtime.
+        import os
+
+        env = os.environ.get("JAMUN_STACK_K")
+        if env:
+            graphs_per_program = int(env)
+        else:
+            graphs_per_program = min(_default_k(), 2 if N > 64 else 8)
     K = max(1, min(graphs_per_program, G))
     Gp = ((G + K - 1) // K) * K
     padg = Gp - G

@@ -735,6 +735,39 @@ def _layer_kernel(
         out_ref[k] = out
 
 
+def _bundled_agg(msgs, agg_rhs, prec):
+    """Aggregate message blocks with MXU row-tile bundling.
+
+    The V-path messages are [Vp(=32), P] blocks and the degree row is [1, P];
+    aggregating each with its own `[rows, P] @ [P, N]` matmul pays a full
+    ~128-row pipeline pass for <=32 useful rows (measured: the 11 split
+    matmuls run at ~97-120 TFLOP/s nominal but ~50% of that is M-padding).
+    Greedily concatenating consecutive narrow blocks into <=128-row bundles
+    shares one pass; full-width (>=128-row) blocks pass through with no copy.
+    Returns the per-block aggregates in input order (bit-identical math —
+    bundling only regroups rows of independent row-wise dot products)."""
+    f32 = jnp.float32
+    bundles, cur, rows = [], [], 0
+    for m in msgs:
+        c = m.shape[0]
+        if cur and rows + c > 128:
+            bundles.append(cur)
+            cur, rows = [], 0
+        cur.append(m)
+        rows += c
+    if cur:
+        bundles.append(cur)
+    outs = []
+    for blks in bundles:
+        m = blks[0] if len(blks) == 1 else jnp.concatenate(blks, axis=0)
+        o = jnp.dot(m, agg_rhs, preferred_element_type=f32, precision=prec)
+        off = 0
+        for b in blks:
+            outs.append(o[off : off + b.shape[0]])
+            off += b.shape[0]
+    return outs
+
+
 def _conv_block_body(
     nf, ef, bf, ebsT, ebd,
     w1, b1d, b1b, w2, b2, pl0, pl1,
@@ -776,9 +809,6 @@ def _conv_block_body(
             jnp.dot(w2, h, preferred_element_type=f32, precision=prec) + b2
         ).astype(cdt)
 
-        def agg(msg):
-            return jnp.dot(msg, agg_rhs, preferred_element_type=f32, precision=prec)
-
         adjS = jnp.broadcast_to(adj, (Sp, L))
         if reps is not None:
             sj = pltpu.repeat(nf[0:Sp], reps, axis=1) * adjS
@@ -793,7 +823,7 @@ def _conv_block_body(
         shyS = jnp.broadcast_to(shy, (Sp, L))
         shzS = jnp.broadcast_to(shz, (Sp, L))
         shxS = jnp.broadcast_to(shx, (Sp, L))
-        blocks = [agg(m1), agg(t2 * shyS), agg(t2 * shzS), agg(t2 * shxS)]
+        msgs = [m1, t2 * shyS, t2 * shzS, t2 * shxS]
         if V > 0:
             if reps is not None:
                 vj = pltpu.repeat(nf[Sp : Sp + 3 * Vp], reps, axis=1)
@@ -813,17 +843,18 @@ def _conv_block_body(
             sz = jnp.broadcast_to(shz, (Vp, L))
             sx = jnp.broadcast_to(shx, (Vp, L))
             dotv = vy * sy + vz * sz + vx * sx
-            blocks += [
-                agg(w3p * vy),
-                agg(w3p * vz),
-                agg(w3p * vx),
-                agg(w4p * dotv * _INV_SQRT3),
-                agg(w5p * (vz * sx - vx * sz) * _INV_SQRT2),
-                agg(w5p * (vx * sy - vy * sx) * _INV_SQRT2),
-                agg(w5p * (vy * sz - vz * sy) * _INV_SQRT2),
+            msgs += [
+                w3p * vy,
+                w3p * vz,
+                w3p * vx,
+                w4p * dotv * _INV_SQRT3,
+                w5p * (vz * sx - vx * sz) * _INV_SQRT2,
+                w5p * (vx * sy - vy * sx) * _INV_SQRT2,
+                w5p * (vy * sz - vz * sy) * _INV_SQRT2,
             ]
-        deg = agg(adj)  # [1, N]
-        return blocks, deg
+        msgs.append(adj)  # degree row
+        outs = _bundled_agg(msgs, agg_rhs, prec)
+        return outs[:-1], outs[-1]
 
     blocks_d, deg_d = stream(ef, ei, None, b1d, P, reps=N)
     blocks_b, deg_b = stream(bf, ebd.astype(cdt), ebsT.astype(cdt), b1b, B)
@@ -1326,13 +1357,10 @@ def _block_bwd_kernel(
                 else:
                     vj = mm(nf_ref[k][Sp : Sp + 3 * Vp], gatherT).astype(cdt)
                 vj = vj * jnp.broadcast_to(adj, (3 * Vp, L))
-            def agg(msg):
-                return mm(msg, agg_rhs)
             w1p = w_all[0:Sp]
             w2p = w_all[Sp : 2 * Sp]
-            blocks = [agg(w1p * sj)]
             t2 = w2p * sj
-            blocks += [agg(t2 * sh[c][0:Sp]) for c in range(3)]
+            msgs = [w1p * sj] + [t2 * sh[c][0:Sp] for c in range(3)]
             if V > 0:
                 vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
                 w3p = w_all[2 * Sp : 2 * Sp + Vp]
@@ -1340,14 +1368,16 @@ def _block_bwd_kernel(
                 w5p = w_all[2 * Sp + 2 * Vp : 2 * Sp + 3 * Vp]
                 sy, sz, sx = sh[0][0:Vp], sh[1][0:Vp], sh[2][0:Vp]
                 dotv = vy * sy + vz * sz + vx * sx
-                blocks += [
-                    agg(w3p * vy), agg(w3p * vz), agg(w3p * vx),
-                    agg(w4p * dotv * _INV_SQRT3),
-                    agg(w5p * (vz * sx - vx * sz) * _INV_SQRT2),
-                    agg(w5p * (vx * sy - vy * sx) * _INV_SQRT2),
-                    agg(w5p * (vy * sz - vz * sy) * _INV_SQRT2),
+                msgs += [
+                    w3p * vy, w3p * vz, w3p * vx,
+                    w4p * dotv * _INV_SQRT3,
+                    w5p * (vz * sx - vx * sz) * _INV_SQRT2,
+                    w5p * (vx * sy - vy * sx) * _INV_SQRT2,
+                    w5p * (vy * sz - vz * sy) * _INV_SQRT2,
                 ]
-            deg = agg(adj)
+            msgs.append(adj)
+            outs = _bundled_agg(msgs, agg_rhs, prec)
+            blocks, deg = outs[:-1], outs[-1]
             return dict(
                 radial=radial, h32=h32, sig=sig, h=h, w_all=w_all, adj=adj,
                 adjS=adjS, sj=sj, vj=vj, sh=sh, blocks=blocks, deg=deg,
