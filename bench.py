@@ -27,7 +27,9 @@ import numpy as np
 BASELINE_MS_PER_SAMPLE = 2.5  # Timewarp 4AA, reference CSV
 
 N_ATOMS = 44  # 4AA-scale heavy-atom count
-N_PAD = 48
+N_PAD = 44  # exact-N padding: pair arrays are O(N^2), and the kernels take
+# any N; padding to the "round" 48 costs ~16% more pairs for nothing
+# (measured delta ~2% — recorded in BENCH_NOTES round 3)
 NUM_CHAINS = 256  # per-sample optimum for the fused kernel (sweep in
 # BENCH_NOTES: 64 -> 0.0430, 128 -> 0.0407, 256 -> 0.0401, 512 -> 0.0416)
 STEPS = 101  # steps-1 walk updates (reference loop semantics)
@@ -50,10 +52,15 @@ def main():
     from jamun_tpu.sampling.mcmc import BAOAB, MCMCConfig
     from jamun_tpu.utils.testing import make_test_batch
 
-    # default: the fused Pallas layer kernel (ops/pallas/packed_conv.py),
-    # 0.0407 ms/sample vs 0.0654 for the XLA fast path on v5e
+    # default: the whole-model stack kernel (ops/pallas/e3_stack.py) — the
+    # ENTIRE walk-step forward in one pallas call; --layerwise for the
+    # per-layer fused kernels, --no-pallas for the XLA fast path
     use_pallas = "--no-pallas" not in sys.argv
-    arch = E3Conv(tensor_product="uvu", dtype=jnp.bfloat16, use_pallas=use_pallas)
+    fused_stack = use_pallas and "--layerwise" not in sys.argv
+    arch = E3Conv(
+        tensor_product="uvu", dtype=jnp.bfloat16, use_pallas=use_pallas,
+        fused_stack=fused_stack,
+    )
     den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.5))
     batch = make_test_batch(
         num_graphs=NUM_CHAINS,

@@ -98,6 +98,16 @@ def run(cfg) -> None:
     if isinstance(arch_cfg, dict) and "E3Conv" in str(arch_cfg.get("_target_", "")):
         on_tpu = jax.default_backend() in ("tpu", "axon")
         arch_cfg["use_pallas"] = bool(cfg.get("use_pallas", on_tpu))
+        # Sampling never differentiates the score network, so the whole-model
+        # stack kernel (ops/pallas/e3_stack.py) is safe to default ON here;
+        # E3Conv._stack_ok falls back to the per-layer path for unsupported
+        # shapes (N > 64, scan_layers, multi-sigma). Not with finetune_on_init
+        # though: that takes gradients through this same denoiser, and the
+        # stack kernel is forward-only. Override with fused_stack=true/false.
+        finetunes = (cfg.get("finetune_on_init") or {}).get("num_steps", 0) > 0
+        arch_cfg["fused_stack"] = bool(
+            cfg.get("fused_stack", arch_cfg["use_pallas"] and on_tpu and not finetunes)
+        )
 
     denoiser = build_denoiser(model_cfg, float(asd))
     optimizer = build_optimizer(model_cfg)

@@ -52,11 +52,19 @@ __all__ = ["packed_e3conv_stack", "stack_supported"]
 
 
 def stack_supported(N: int, S: int, V: int, S_emb: int, out_blocks_final) -> bool:
-    """Same shape regime as the gen-3 fused-block kernel, plus an l<=1 head."""
+    """Same shape regime as the gen-3 fused-block kernel, plus an l<=1 head.
+
+    Capped at N <= 64: the whole-model body is Python-unrolled (L layers x
+    K graphs), and Mosaic compile time becomes pathological at larger N
+    (measured >20 min at N=112 vs 1-9 min at N <= 48; a fori_loop body with
+    dynamic weight indexing was slower still). Larger systems use the
+    per-layer chained kernels, which pipeline their edge-feature HBM reads
+    and compile per-block."""
     from jamun_tpu.ops.pallas.packed_conv import packed_shape_bounds_ok
 
     return (
-        packed_shape_bounds_ok(N, S, V)
+        N <= 64
+        and packed_shape_bounds_ok(N, S, V)
         and packed_shape_bounds_ok(N, S_emb, 0)
         and V >= 16
         and all(l <= 1 for _, l in out_blocks_final)
@@ -130,7 +138,12 @@ def _stack_kernel(
             fuse_block=True, gate_shape=gate_shape, ei=ei,
         )  # [Sp + 3*Vp, N] f32
 
-        # hidden layers: scale -> ConvBlock -> noise-conditioned skip blend
+        # hidden layers: scale -> ConvBlock -> noise-conditioned skip blend.
+        # Python-unrolled on purpose: a lax.fori_loop body with dynamic
+        # leading-dim weight indexing compiled SLOWER than the full unroll
+        # (13+ min vs 9 at N=44 — Mosaic's dynamic-slice analysis loses more
+        # than the 3x-smaller program saves), so the stack kernel instead
+        # stays gated to N <= 64 where unrolled compiles are sane.
         for l in range(L):
             xs = (x * sc_ref[l]).astype(cdt)
             y = _conv_block_body(

@@ -745,12 +745,19 @@ def _bundled_agg(msgs, agg_rhs, prec):
     Greedily concatenating consecutive narrow blocks into <=128-row bundles
     shares one pass; full-width (>=128-row) blocks pass through with no copy.
     Returns the per-block aggregates in input order (bit-identical math —
-    bundling only regroups rows of independent row-wise dot products)."""
+    bundling only regroups rows of independent row-wise dot products).
+
+    Gated to narrow operands (lanes <= 4096, i.e. dense pairs at N <= 64, and
+    all bond streams): at N=112 the sublane concats of [32, 12544] blocks sent
+    the Mosaic layout solver pathological (>20 min compiles vs minutes), and
+    the measured win was only ~1% at 4AA — not worth any compile risk at
+    sizes where it cannot be A/B'd quickly."""
     f32 = jnp.float32
+    bundle = msgs[0].shape[1] <= 4096
     bundles, cur, rows = [], [], 0
     for m in msgs:
         c = m.shape[0]
-        if cur and rows + c > 128:
+        if cur and (not bundle or rows + c > 128):
             bundles.append(cur)
             cur, rows = [], 0
         cur.append(m)
@@ -761,6 +768,10 @@ def _bundled_agg(msgs, agg_rhs, prec):
     for blks in bundles:
         m = blks[0] if len(blks) == 1 else jnp.concatenate(blks, axis=0)
         o = jnp.dot(m, agg_rhs, preferred_element_type=f32, precision=prec)
+        if len(blks) == 1:
+            outs.append(o)  # no slice: keeps the unbundled trace (and its
+            # compile cache entries) bit-identical to the pre-bundling code
+            continue
         off = 0
         for b in blks:
             outs.append(o[off : off + b.shape[0]])
