@@ -422,3 +422,34 @@ def test_v2_xla_reference_matches_kernel():
     out_k = np.asarray(packed_fused_block_v2(*args, **kw))
     out_r = np.asarray(packed_fused_block_v2(*args, **kw, xla_reference=True))
     np.testing.assert_allclose(out_k, out_r, atol=1e-5, rtol=1e-5)
+
+
+def test_bundled_agg_parity_and_grouping():
+    """_bundled_agg returns per-block aggregates identical to per-block dots,
+    and bundles narrow blocks only in the narrow-lane regime (<= 4096)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jamun_tpu.ops.pallas.packed_conv import _bundled_agg
+
+    rng = np.random.default_rng(0)
+    P, N = 24 * 24, 24
+    rhs = jnp.asarray(rng.normal(size=(P, N)).astype(np.float32))
+    rows = [128, 128, 32, 32, 32, 32, 32, 32, 32, 1]
+    msgs = [jnp.asarray(rng.normal(size=(r, P)).astype(np.float32)) for r in rows]
+    prec = jax.lax.Precision.HIGHEST
+    outs = _bundled_agg(msgs, rhs, prec)
+    assert [o.shape[0] for o in outs] == rows
+    for o, m in zip(outs, msgs):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(m) @ np.asarray(rhs), rtol=1e-4, atol=5e-4
+        )
+
+    # wide-lane regime: no concatenation (singleton bundles keep traces
+    # identical to the pre-bundling kernel; Mosaic pathology guard)
+    wideP = 112 * 112
+    wrhs = jnp.zeros((wideP, 8), jnp.float32)
+    wmsgs = [jnp.zeros((32, wideP), jnp.float32) for _ in range(3)]
+    jaxpr = jax.make_jaxpr(lambda ms: _bundled_agg(ms, wrhs, prec))(wmsgs)
+    assert "concatenate" not in str(jaxpr)
