@@ -350,7 +350,8 @@ class E3Conv(nn.Module):
 
     def _stack_ok(self, batch, irreps_hidden, irreps_sh, irreps_out, c_noise) -> bool:
         """True when the whole-model stack kernel (`ops/pallas/e3_stack.py`)
-        can run: the chained fused-block regime at gen-3 sizes (N <= 128),
+        can run: the chained fused-block regime at N <= 64 (see
+        `stack_supported` for the compile-time rationale behind the cap),
         per-layer params addressable by name (no scan stacking), and a single
         noise level (the walk's case — sampling uses one sigma per step)."""
         if not (self.fused_stack and not self.scan_layers):
@@ -382,7 +383,7 @@ class E3Conv(nn.Module):
             + self.residue_index_embedding_dim
         )
         S_h, V_h = hid[0].mul, hid[1].mul
-        out_blocks_final = tuple((mi.mul, mi.ir.l) for mi in irreps_out)
+        out_blocks_final = tuple((mi.mul, mi.ir.l, mi.ir.p) for mi in irreps_out)
         return supports_packed_conv(
             S_h, V_h, irreps_sh.dim, self.edge_attr_dim, self.edge_attr_dim
         ) and stack_supported(batch.pos.shape[1], S_h, V_h, S_emb, out_blocks_final)
@@ -422,13 +423,12 @@ class E3Conv(nn.Module):
             lambda *xs: jnp.stack(xs), *[block_w(p["ConvBlock_0"]) for p in layer_ps]
         )
 
+        from jamun_tpu.models.noise_conditioning import _ScalePredictor
+
         def scale_mlp(p, c):
-            # _ScalePredictor (num_layers=1): Dense -> selu -> Dense
-            x = c.reshape(-1, 1).astype(jnp.float32)
-            x = x @ p["Dense_0"]["kernel"] + p["Dense_0"]["bias"]
-            x = jax.nn.selu(x)
-            x = x @ p["Dense_1"]["kernel"] + p["Dense_1"]["bias"]
-            return x[0]  # [S + V]
+            # apply the REAL module on the collected param subtree so this
+            # path can never silently diverge from the layerwise forward
+            return _ScalePredictor(S + V).apply({"params": p}, c)[0]  # [S + V]
 
         scales = jnp.stack(
             [

@@ -67,7 +67,10 @@ def stack_supported(N: int, S: int, V: int, S_emb: int, out_blocks_final) -> boo
         and packed_shape_bounds_ok(N, S, V)
         and packed_shape_bounds_ok(N, S_emb, 0)
         and V >= 16
-        and all(l <= 1 for _, l in out_blocks_final)
+        # even parity required, matching E3Conv._chained_ok's head gate:
+        # IrrepsLinear creates no params for parity-mismatched blocks, so an
+        # odd-parity output (e.g. 1x1o) has no w_* subtree to collect
+        and all(l <= 1 and p == 1 for _, l, p in out_blocks_final)
     )
 
 
@@ -223,16 +226,22 @@ def _pack_head_weights(head_blk, head_fin, out_blocks_final, S, V, cdt):
     C0o = sum(mul for mul, l in out_blocks_final if l == 0)
     V1o = sum(mul for mul, l in out_blocks_final if l == 1)
 
-    def stackpad(rows, total, Cp, cols):
+    def stackpad(rows, Cp, cols):
+        """Stack [mul, S-or-V] rows and zero-pad BOTH dims to (Cp, cols) —
+        the column pad matters whenever S/V is not a 16-multiple."""
         if not rows:
             return jnp.zeros((_pad16(1), cols), cdt)
         m = jnp.concatenate(rows, axis=0)
+        if m.shape[1] != cols:
+            m = jnp.concatenate(
+                [m, jnp.zeros((m.shape[0], cols - m.shape[1]), cdt)], axis=1
+            )
         if m.shape[0] != Cp:
             m = jnp.concatenate([m, jnp.zeros((Cp - m.shape[0], cols), cdt)], axis=0)
         return m
 
-    hf0 = stackpad(rows0, C0o, _pad16(C0o), Sp)
-    hf1 = stackpad(rows1, V1o, _pad16(V1o), Vp)
+    hf0 = stackpad(rows0, _pad16(C0o), Sp)
+    hf1 = stackpad(rows1, _pad16(V1o), Vp)
     return hb00, hb01, hb12, hf0, hf1, C0o, V1o
 
 

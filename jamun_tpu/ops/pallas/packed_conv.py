@@ -497,7 +497,6 @@ def _edge_feat_kernel(
     cdt = ef_ref.dtype
     P = N * N
     cutoff = scal_ref[0, 0]
-    hi = jax.lax.Precision.HIGHEST
     _, eit_f, eye_row = _dense_onehots(N, P, f32)
 
     for k in range(K):

@@ -61,6 +61,12 @@ def main():
                        save_every_n_steps=1, score_fn_clip=100.0)
         )
         mask = batch.node_mask[..., None].astype(batch.pos.dtype)
+        if args.stack and N > 64:
+            print(
+                f"{label}: NOTE --stack requested but N={N} exceeds the stack "
+                "kernel's N<=64 gate; this row measures the LAYERWISE path",
+                flush=True,
+            )
         arch = E3Conv(
             tensor_product="uvu", dtype=jnp.bfloat16,
             use_pallas=not args.no_pallas, fused_stack=args.stack,

@@ -72,3 +72,39 @@ def test_stack_gate_rejects_unsupported():
     params = stack_scan.init(jax.random.PRNGKey(0), batch, c_noise, cutoff)
     out = stack_scan.apply(params, batch, c_noise, cutoff)  # must not raise
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_stack_non_tile_aligned_head_widths():
+    """Head packing pads BOTH dims: S=40 is not a 16-multiple, so the l=0
+    final-head rows [mul, 40] need column padding to Sp=48. Regression for
+    the stackpad column-pad crash."""
+    arch = dict(
+        tensor_product="uvu", n_layers=1, irreps_hidden="40x0e + 16x1e",
+        use_pallas=True,
+    )
+    base = E3Conv(**arch, irreps_out="1x0e + 1x1e")
+    stack = E3Conv(**arch, irreps_out="1x0e + 1x1e", fused_stack=True)
+    batch = make_test_batch(num_graphs=1, max_nodes=16, scale=0.3)
+    c_noise = jnp.asarray([0.1])
+    cutoff = jnp.asarray(1.0)
+    params = base.init(jax.random.PRNGKey(0), batch, c_noise, cutoff)
+    params = jax.tree.map(lambda p: p + 0.7 if p.ndim == 0 else p, params)
+    out_ref = np.asarray(jax.jit(base.apply)(params, batch, c_noise, cutoff))
+    out_stk = np.asarray(jax.jit(stack.apply)(params, batch, c_noise, cutoff))
+    assert np.abs(out_ref).max() > 1e-5
+    np.testing.assert_allclose(out_stk, out_ref, atol=2e-5, rtol=1e-4)
+
+
+def test_stack_gate_rejects_odd_parity_output():
+    """1x1o output has no head params (parity mismatch in IrrepsLinear) —
+    the stack gate must fall back to the layerwise path, not KeyError."""
+    stack = E3Conv(
+        tensor_product="uvu", n_layers=1, irreps_hidden="32x0e + 16x1e",
+        use_pallas=True, fused_stack=True, irreps_out="1x1o",
+    )
+    batch = make_test_batch(num_graphs=1, max_nodes=16, scale=0.3)
+    c_noise = jnp.asarray([0.1])
+    cutoff = jnp.asarray(1.0)
+    params = stack.init(jax.random.PRNGKey(0), batch, c_noise, cutoff)
+    out = stack.apply(params, batch, c_noise, cutoff)  # must not raise
+    assert np.all(np.isfinite(np.asarray(out)))
