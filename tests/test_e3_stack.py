@@ -108,3 +108,21 @@ def test_stack_gate_rejects_odd_parity_output():
     params = stack.init(jax.random.PRNGKey(0), batch, c_noise, cutoff)
     out = stack.apply(params, batch, c_noise, cutoff)  # must not raise
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_stack_odd_unaligned_n():
+    """Odd N (17) — the exact-N padding regime bench.py now defaults to
+    (N=44/19); guards the iota/eye-row/pair-index logic off 8-multiples."""
+    arch = dict(tensor_product="uvu", n_layers=1, irreps_hidden="32x0e + 16x1e",
+                use_pallas=True)
+    base = E3Conv(**arch)
+    stack = E3Conv(**arch, fused_stack=True)
+    batch = make_test_batch(num_graphs=1, max_nodes=17, nodes_per_graph=[17], scale=0.3)
+    c_noise = jnp.asarray([0.1])
+    cutoff = jnp.asarray(1.0)
+    params = base.init(jax.random.PRNGKey(0), batch, c_noise, cutoff)
+    params = jax.tree.map(lambda p: p + 0.7 if p.ndim == 0 else p, params)
+    out_ref = np.asarray(jax.jit(base.apply)(params, batch, c_noise, cutoff))
+    out_stk = np.asarray(jax.jit(stack.apply)(params, batch, c_noise, cutoff))
+    assert np.abs(out_ref).max() > 1e-5
+    np.testing.assert_allclose(out_stk, out_ref, atol=2e-5, rtol=1e-4)
