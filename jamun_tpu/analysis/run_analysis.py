@@ -222,14 +222,32 @@ def main(argv=None):
     if pred_rate is not None and ref_rate is not None:
         log.info("speed-matched rerun: pred %.3g s/sample vs ref %.3g s/sample", pred_rate, ref_rate)
         ref_subset = subset_reference_trajectory(pred, ref, pred_rate, ref_rate)
-        bench = analyze_trajectories(top, ref_subset, ref, tica_lag=args.tica_lag)
-        bench["speed_matched"] = {
-            "pred_seconds_per_sample": pred_rate,
-            "ref_seconds_per_sample": ref_rate,
-            "ref_subset_frames": len(ref_subset),
-        }
         base, ext = os.path.splitext(args.out)
-        save(bench, f"{base}_benchmark{ext or '.json'}")
+        if len(ref_subset) < 2:
+            # the matched wall-clock budget rounded to <2 reference frames —
+            # histograms/TICA on an empty array would emit NaN JSDs; record
+            # the degenerate budget explicitly instead of a NaN-filled JSON
+            log.warning(
+                "speed-matched budget covers %d reference frame(s); "
+                "skipping the benchmark rerun", len(ref_subset),
+            )
+            save(
+                {"speed_matched": {
+                    "pred_seconds_per_sample": pred_rate,
+                    "ref_seconds_per_sample": ref_rate,
+                    "ref_subset_frames": len(ref_subset),
+                    "skipped": "matched budget < 2 reference frames",
+                }},
+                f"{base}_benchmark{ext or '.json'}",
+            )
+        else:
+            bench = analyze_trajectories(top, ref_subset, ref, tica_lag=args.tica_lag)
+            bench["speed_matched"] = {
+                "pred_seconds_per_sample": pred_rate,
+                "ref_seconds_per_sample": ref_rate,
+                "ref_subset_frames": len(ref_subset),
+            }
+            save(bench, f"{base}_benchmark{ext or '.json'}")
 
 
 if __name__ == "__main__":

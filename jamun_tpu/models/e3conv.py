@@ -171,7 +171,10 @@ class E3Conv(nn.Module):
         # kernels enforce (S/V from the hidden layers, which consume it), so
         # it is never dead work when Conv would fall back to the XLA path
         _hsv = (irreps_hidden[0].mul, irreps_hidden[1].mul if len(irreps_hidden) > 1 else 0)
-        from jamun_tpu.ops.pallas.packed_conv import tiled_shape_bounds_ok
+        from jamun_tpu.ops.pallas.packed_conv import (
+            supports_packed_conv,
+            tiled_shape_bounds_ok,
+        )
 
         N_atoms = batch.pos.shape[1]
         stack_on = self._stack_ok(batch, irreps_hidden, irreps_sh, irreps_out, c_noise)
@@ -182,6 +185,13 @@ class E3Conv(nn.Module):
             and self.tensor_product == "uvu"
             and self.atom_axis is None
             and tiled_shape_bounds_ok(N_atoms, _hsv[0], _hsv[1])
+            # mirror Conv._pallas_supported's structural checks too (sh dim,
+            # edge_attr/radial widths): otherwise e.g. edge_attr_dim=32 would
+            # precompute [G, EFR, N^2] features every forward that every conv
+            # then ignores on its XLA fallback path
+            and supports_packed_conv(
+                _hsv[0], _hsv[1], irreps_sh.dim, self.edge_attr_dim, self.edge_attr_dim
+            )
             and not self.is_initializing()
         ):
             # per-forward kernel inputs IDENTICAL for all conv layers: compute

@@ -289,6 +289,11 @@ class Equiformer(nn.Module):
         nc_v_out = self.nc_v_out if self.nc_v_out is not None else S
         prec = matmul_precision(s.dtype)
         maskf = pair_mask.astype(s.dtype)
+        # masked pairs may carry non-finite geometry (e.g. rvec = d/||d|| on
+        # the self-pair diagonal with no epsilon); zero it here so the
+        # multiply-by-mask reductions below cannot be poisoned (NaN * 0 = NaN)
+        r = jnp.where(pair_mask, r, 0.0)
+        rvec = jnp.where(pair_mask[..., None], rvec, 0.0)
 
         s0, v0 = s, v
         if self.apply_layer_norm:
@@ -422,6 +427,9 @@ class Convnet(nn.Module):
         nc_v_out = self.nc_v_out if self.nc_v_out is not None else S
         s0, v0 = s, v
         maskf = pair_mask.astype(s.dtype)
+        # zero non-finite masked-pair geometry (see Equiformer note above)
+        r = jnp.where(pair_mask, r, 0.0)
+        rvec = jnp.where(pair_mask[..., None], rvec, 0.0)
 
         # pair features: i = dst (axis 1), j = src (axis 2)
         s1 = s[:, :, None, :]  # dst

@@ -332,27 +332,48 @@ class ConvBlock(nn.Module):
             atom_axis=self.atom_axis,
         )
 
+        def standard(x):
+            # LinearSelfInteraction (`nn/_interaction.py:5`): f(x) passed
+            # through a linear "self interaction" + a linear skip of the input
+            skip = IrrepsLinear(irreps_in, gate.irreps_out)(x)
+            y = conv(x, edges)
+            y = gate(y)
+            y = IrrepsLinear(gate.irreps_out, gate.irreps_out)(y)
+            return y + skip
+
         if transposed_in or transposed_out:
             n_atoms = node_attr.shape[-1] if transposed_in else node_attr.shape[1]
-            if not self._fused_block_supported(conv, gate, node_attr, edges, n_atoms=n_atoms):
-                raise ValueError(
-                    "ConvBlock(transposed_in/out) requires the fused-block kernel path"
+            if self._fused_block_supported(conv, gate, node_attr, edges, n_atoms=n_atoms):
+                return self._fused_block(
+                    conv, gate, node_attr, edges,
+                    transposed_in=transposed_in, transposed_out=transposed_out,
                 )
-            return self._fused_block(
-                conv, gate, node_attr, edges,
-                transposed_in=transposed_in, transposed_out=transposed_out,
+            # graceful degradation: a caller-side support check that drifts
+            # from _fused_block_supported must not turn into a forward crash —
+            # un/re-transpose around the standard path (two layout copies,
+            # same math, same params; the chained caller keeps working).
+            from jamun_tpu.ops.pallas.packed_conv import (
+                pack_features_transposed,
+                unpack_features_transposed,
             )
+
+            S_in = irreps_in[0].mul
+            V_in = irreps_in[1].mul if len(list(irreps_in)) > 1 else 0
+            x = node_attr
+            if transposed_in:
+                x = unpack_features_transposed(x, S_in, V_in)
+            out = standard(x)
+            if transposed_out:
+                gi = list(gate.irreps_out)
+                out = pack_features_transposed(
+                    out, gi[0].mul, gi[1].mul if len(gi) > 1 else 0, jnp.float32
+                )
+            return out
 
         if self._fused_block_supported(conv, gate, node_attr, edges):
             return self._fused_block(conv, gate, node_attr, edges)
 
-        # LinearSelfInteraction (`nn/_interaction.py:5`): f(x) passed through a
-        # linear "self interaction", plus a linear skip of the input.
-        skip = IrrepsLinear(irreps_in, gate.irreps_out)(node_attr)
-        x = conv(node_attr, edges)
-        x = gate(x)
-        x = IrrepsLinear(gate.irreps_out, gate.irreps_out)(x)
-        return x + skip
+        return standard(node_attr)
 
     def _fused_block_supported(
         self, conv: Conv, gate: Gate, node_attr, edges, n_atoms: int = None

@@ -86,14 +86,40 @@ _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _TILE = 16  # sublane tile (bf16); f32's 8 divides it
 
 
+_K_ENV_SEEN: dict = {}
+
+
+def _env_k(var: str, default: int) -> int:
+    """Read a K-tuning env var with process-constant semantics: the jitted
+    wrappers cache on graphs_per_program=None, so a mid-process change would
+    silently reuse the previously compiled K — raise loudly instead. Tuning
+    sweeps set the env before process start (one process per point)."""
+    import os
+
+    v = int(os.environ.get(var, str(default)))
+    prev = _K_ENV_SEEN.setdefault(var, v)
+    if prev != v:
+        raise RuntimeError(
+            f"{var} changed mid-process ({prev} -> {v}); the kernel wrappers "
+            "jit-cache on the env-resolved K, so this would silently run the "
+            f"old K={prev}. Set {var} before the first kernel call."
+        )
+    return v
+
+
 def _default_k() -> int:
     """Graphs per grid program for the fused layer kernel (K). Per-program
     overhead (~15 us with many small buffers) amortizes over K; VMEM and
     Mosaic code size grow with it. 8 measured best at round-2 shapes;
-    JAMUN_KGRAPHS overrides for tuning sweeps."""
-    import os
+    JAMUN_KGRAPHS overrides for tuning sweeps (process-start only)."""
+    return _env_k("JAMUN_KGRAPHS", 8)
 
-    return int(os.environ.get("JAMUN_KGRAPHS", "8"))
+
+def _default_k_bwd() -> int:
+    """Backward-kernel K: 16 measured 27% faster than 8 at batch 32 (the
+    bwd program amortizes its larger fixed state over more graphs).
+    JAMUN_KGRAPHS_BWD overrides (process-start only)."""
+    return _env_k("JAMUN_KGRAPHS_BWD", 16)
 
 
 def _pad16(c: int) -> int:
@@ -1574,7 +1600,8 @@ def packed_conv_block_bwd(
     n_radial: int = 32,
     interpret: bool = False,
     compute_dtype=None,
-    graphs_per_program: int = 16,  # bwd prefers bigger K than the forward's 8
+    graphs_per_program: int | None = None,  # None -> _default_k_bwd() (16;
+    # JAMUN_KGRAPHS_BWD overrides): bwd prefers bigger K than the forward's 8
     # (measured 4AA b32: K=8 1.97, K=16 1.45, K=32 1.44 ms per layer-call)
     transposed_in: bool = False,   # x is [G, Sp + 3*Vp, N]; dx returned likewise
     transposed_out: bool = False,  # g is [G, Scp + 3*Vgp, N] (kernel-native)
@@ -1595,7 +1622,7 @@ def packed_conv_block_bwd(
     Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
 
     if graphs_per_program is None:
-        graphs_per_program = _default_k()
+        graphs_per_program = _default_k_bwd()
     K = max(1, min(graphs_per_program, G))
     Gp = ((G + K - 1) // K) * K
     padg = Gp - G
@@ -1922,88 +1949,16 @@ def _pack_fused_block_weights(
     w1, b1, w2, b2, bond0, bond1, pl_params, lin2_params, skip_params,
     S, V, out_blocks, n_radial, cdt,
 ):
-    """Weight packing for the fused-block kernels (fuse_block layout only):
-    transposed rows, tile-aligned slots, IrrepsLinear 1/sqrt(fan) folded in.
-    Identical layout to `packed_separable_conv_layer`'s inline packing."""
-    f32 = jnp.float32
-    Sp, Vp = _pad16(S), _pad16(V)
-    hiP = jax.lax.Precision.HIGHEST
-    nb = w1.shape[0] - n_radial
-    b1d = b1 + jnp.einsum("i,ij->j", bond0.astype(f32), w1[:nb].astype(f32), precision=hiP)
-    b1b = b1 + jnp.einsum("i,ij->j", bond1.astype(f32), w1[:nb].astype(f32), precision=hiP)
-    w1T = w1[nb:].T.astype(cdt)
-    path_dims = (S, S, V, V, V) if V > 0 else (S, S)
-    pad_dims = (Sp, Sp, Vp, Vp, Vp) if V > 0 else (Sp, Sp)
-    w2_rows, b2_rows = [], []
-    off = 0
-    for C, Cp in zip(path_dims, pad_dims):
-        w2_rows.append(w2[:, off : off + C].T.astype(cdt))
-        b2_rows.append(b2[off : off + C].astype(f32)[:, None])
-        if Cp != C:
-            w2_rows.append(jnp.zeros((Cp - C, 64), cdt))
-            b2_rows.append(jnp.zeros((Cp - C, 1), f32))
-        off += C
-    w2T = jnp.concatenate(w2_rows, axis=0)
-    b2T = jnp.concatenate(b2_rows, axis=0)
-
-    in0_ids = (0, 3) if V > 0 else (0,)
-    in1_ids = (1, 2, 4) if V > 0 else (1,)
-    in0_dims = (S, V) if V > 0 else (S,)
-    in1_dims = (S, V, V) if V > 0 else (S,)
-    in0_pads = (Sp, Vp) if V > 0 else (Sp,)
-    in1_pads = (Sp, Vp, Vp) if V > 0 else (Sp,)
-    fan0 = sum(in0_dims)
-    fan1 = sum(in1_dims)
-
-    assert (
-        len(out_blocks) == 3
-        and out_blocks[0][1] == 0
-        and out_blocks[1][1] == 0
-        and out_blocks[2][1] == 1
-        and out_blocks[1][0] == out_blocks[2][0]
-    ), out_blocks
-    Sc, Gt, Vg = out_blocks[0][0], out_blocks[1][0], out_blocks[2][0]
-    gate_shape = (Sc, Gt, Vg)
-    Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
-
-    def pack_block(j, mul, Cp_rows, ids, dims, pads, fan):
-        cols = []
-        for i_in, d, pd in zip(ids, dims, pads):
-            w = pl_params[f"w_{i_in}_{j}"]
-            wT = w.T.astype(cdt) / math.sqrt(max(fan, 1))
-            if pd != d:
-                wT = jnp.concatenate([wT, jnp.zeros((mul, pd - d), cdt)], axis=1)
-            cols.append(wT)
-        m = jnp.concatenate(cols, axis=1)
-        if Cp_rows != mul:
-            m = jnp.concatenate([m, jnp.zeros((Cp_rows - mul, m.shape[1]), cdt)], axis=0)
-        return m
-
-    pl0T = jnp.concatenate(
-        [
-            pack_block(0, Sc, Scp, in0_ids, in0_dims, in0_pads, fan0),
-            pack_block(1, Gt, Gtp, in0_ids, in0_dims, in0_pads, fan0),
-        ],
-        axis=0,
+    """Weight packing for the gen-4 (dst-block-tiled) fused-block kernel —
+    a thin adapter over `_pack_layer_weights(fuse_block=True)` so gen-3 and
+    gen-4 consume ONE source of truth for the packed layout."""
+    gate_shape, ws = _pack_layer_weights(
+        w1, b1, w2, b2, bond0, bond1, pl_params,
+        S=S, V=V, out_blocks=out_blocks, n_radial=n_radial,
+        fuse_block=True, lin2_params=lin2_params, skip_params=skip_params,
+        cdt=cdt,
     )
-    pl1T = pack_block(2, Vg, Vgp, in1_ids, in1_dims, in1_pads, fan1)
-
-    def pad2(m, rows, cols):
-        if m.shape[0] != rows:
-            m = jnp.concatenate([m, jnp.zeros((rows - m.shape[0], m.shape[1]), cdt)], axis=0)
-        if m.shape[1] != cols:
-            m = jnp.concatenate([m, jnp.zeros((m.shape[0], cols - m.shape[1]), cdt)], axis=1)
-        return m
-
-    lin20T = pad2(lin2_params["w_0_0"].T.astype(cdt) / math.sqrt(Sc), Scp, Scp)
-    lin21T = pad2(lin2_params["w_1_1"].T.astype(cdt) / math.sqrt(Vg), Vgp, Vgp)
-    sk0T = pad2(skip_params["w_0_0"].T.astype(cdt) / math.sqrt(max(S, 1)), Scp, Sp)
-    if V > 0:
-        sk1T = pad2(skip_params["w_1_1"].T.astype(cdt) / math.sqrt(V), Vgp, Vp)
-    else:
-        sk1T = jnp.zeros((Vgp, _TILE), cdt)
-    return _PackedW(w1T, b1d.astype(f32)[:, None], b1b.astype(f32)[:, None],
-                    w2T, b2T, pl0T, pl1T, lin20T, lin21T, sk0T, sk1T), gate_shape
+    return _PackedW(*ws), gate_shape
 
 
 def _block_body(

@@ -207,10 +207,13 @@ def test_pallas_with_scan_layers():
     np.testing.assert_allclose(out_pal, out_ref, atol=5e-4, rtol=1e-3)
 
 
-@pytest.mark.slow
 def test_kernel_path_trainable_grad_parity():
     """The hand-written backward kernel (custom VJP) matches XLA autodiff of
-    the reference ConvBlock path for every parameter and the input."""
+    the reference ConvBlock path for every parameter and the input.
+
+    Deliberately in the FAST tier: it is the only backward-kernel coverage
+    there (the train-step integration and chained-layout variants are slow),
+    and the backward kernel is the training default on the performance arch."""
     import jax.tree_util as jtu
 
     from jamun_tpu.ops.conv import ConvBlock
@@ -453,3 +456,38 @@ def test_bundled_agg_parity_and_grouping():
     wmsgs = [jnp.zeros((32, wideP), jnp.float32) for _ in range(3)]
     jaxpr = jax.make_jaxpr(lambda ms: _bundled_agg(ms, wrhs, prec))(wmsgs)
     assert "concatenate" not in str(jaxpr)
+
+
+def test_transposed_flags_degrade_gracefully():
+    """transposed_in/out on a config the fused-block kernel does NOT support
+    (uvw tensor product here) must fall back to the standard path with layout
+    adapters, not raise — guards against E3Conv._chained_ok drifting from
+    ConvBlock._fused_block_supported."""
+    from jamun_tpu.ops.conv import ConvBlock
+    from jamun_tpu.ops.pallas.packed_conv import (
+        pack_features_transposed,
+        unpack_features_transposed,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = make_test_batch(num_graphs=2, max_nodes=16, nodes_per_graph=[14, 16], scale=0.3)
+    cutoff = jnp.asarray(0.8)
+    bond0 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    edges = _edges(batch, cutoff, bond0)
+    # uvw tensor product: _pallas_supported is False by construction, so the
+    # transposed call exercises the degradation branch on every backend
+    kwargs = dict(
+        irreps_in=IRREPS_IN, irreps_out=IRREPS_OUT, irreps_sh=IRREPS_SH,
+        edge_attr_dim=64, tensor_product="uvw", use_pallas=True,
+    )
+    blk = ConvBlock(**kwargs)
+    x = jnp.asarray(rng.standard_normal((2, 16, IRREPS_IN.dim)).astype(np.float32))
+    params = blk.init(jax.random.PRNGKey(0), x, edges)
+    out_plain = blk.apply(params, x, edges)
+
+    xT = pack_features_transposed(x, S, V, jnp.float32)
+    outT = blk.apply(params, xT, edges, transposed_in=True, transposed_out=True)
+    out_rt = unpack_features_transposed(outT, 16, 8)
+    np.testing.assert_allclose(
+        np.asarray(out_rt), np.asarray(out_plain), atol=1e-5, rtol=1e-5
+    )
