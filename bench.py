@@ -46,7 +46,20 @@ def log(msg):
 def main():
     from jamun_tpu.utils.jax_setup import setup_jax
 
-    setup_jax()
+    try:
+        setup_jax()
+        jax.devices()
+    except Exception as e:  # backend unavailable: emit an explicit error line
+        # rather than crashing with no JSON (the tunneled TPU service has
+        # observable multi-hour outages; see NOTES_NEXT.md)
+        print(json.dumps({
+            "metric": "walkjump_ms_per_sample_4AA",
+            "value": None,
+            "unit": "ms/sample",
+            "vs_baseline": None,
+            "error": f"TPU backend unavailable: {type(e).__name__}",
+        }), flush=True)
+        return
     from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
     from jamun_tpu.models.e3conv import E3Conv
     from jamun_tpu.sampling.mcmc import BAOAB, MCMCConfig
