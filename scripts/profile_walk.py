@@ -1,80 +1,146 @@
-"""Standalone profiling harness: trace the walk-jump hot loop with
-jax.profiler (XProf/TensorBoard trace).
+"""Profile the walk step on the real TPU via jax.profiler.trace.
 
-Reference parity: `profiling/standalone_training.py` + `profiling/profile.sh`
-(nsys + NVTX there; jax.profiler trace + named annotations here).
+NOTES_NEXT round-3 #2a: all kernel-time attribution so far was ablation
+guesswork; this captures an XPlane device trace through the axon tunnel and
+prints a per-op time table, so the 5AA (N=112 layerwise) and 4AA (N=44 stack)
+hot spots are measured, not inferred.
 
 Usage:
-    python scripts/profile_walk.py --trace-dir /tmp/jamun_trace --steps 50
-    # inspect with: tensorboard --logdir /tmp/jamun_trace
+  python scripts/profile_walk.py [--n 112] [--pad 112] [--chains 256]
+      [--steps 20] [--stack | --layerwise | --no-pallas] [--out DIR]
+
+Prints the top ops by self-time from the captured trace. The raw trace stays
+in --out (default /tmp/jaxprof) for tensorboard_plugin_profile if available.
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
+import os
+import sys
 import time
+from collections import defaultdict
 
-import jax
-import jax.numpy as jnp
+
+def parse_xplanes(trace_dir):
+    """Return [(plane_name, line_name, event_name, total_ps, count)] from all
+    .xplane.pb files under trace_dir, using tensorflow's xplane proto."""
+    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+
+    rows = []
+    for path in glob.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+    ):
+        space = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            emeta = plane.event_metadata
+            for line in plane.lines:
+                agg = defaultdict(lambda: [0, 0])
+                for ev in line.events:
+                    name = emeta[ev.metadata_id].name if ev.metadata_id in emeta else "?"
+                    agg[name][0] += ev.duration_ps
+                    agg[name][1] += 1
+                for name, (ps, cnt) in agg.items():
+                    rows.append((plane.name, line.name or str(line.id), name, ps, cnt))
+    return rows
 
 
 def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--trace-dir", default="/tmp/jamun_tpu_trace")
-    parser.add_argument("--steps", type=int, default=51)
-    parser.add_argument("--chains", type=int, default=64)
-    parser.add_argument("--atoms", type=int, default=44)
-    parser.add_argument("--pad", type=int, default=48)
-    parser.add_argument("--tp", default="uvu", choices=["uvu", "uvw"])
-    args = parser.parse_args()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=112)
+    ap.add_argument("--pad", type=int, default=None)
+    ap.add_argument("--chains", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--stack", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--out", default="/tmp/jaxprof")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+    pad = args.pad or args.n
 
+    import jax
+    import jax.numpy as jnp
+
+    from jamun_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
     from jamun_tpu.models.e3conv import E3Conv
     from jamun_tpu.sampling.mcmc import BAOAB, MCMCConfig
-    from jamun_tpu.utils.jax_setup import setup_jax
     from jamun_tpu.utils.testing import make_test_batch
 
-    setup_jax()
-    arch = E3Conv(tensor_product=args.tp, dtype=jnp.bfloat16)
+    use_pallas = not args.no_pallas
+    arch = E3Conv(
+        tensor_product="uvu", dtype=jnp.bfloat16, use_pallas=use_pallas,
+        fused_stack=bool(args.stack),
+    )
     den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.5))
     batch = make_test_batch(
-        num_graphs=args.chains,
-        max_nodes=args.pad,
-        nodes_per_graph=[args.atoms] * args.chains,
-        max_bonds=2 * args.pad,
-        scale=0.35,
+        num_graphs=args.chains, max_nodes=pad,
+        nodes_per_graph=[args.n] * args.chains, max_bonds=2 * pad, scale=0.35,
     )
     params = den.init(jax.random.PRNGKey(0), batch)
     mask = batch.node_mask[..., None].astype(batch.pos.dtype)
+    sigma = 0.04
     mcmc = BAOAB(
-        MCMCConfig(delta=0.04, steps=args.steps, save_every_n_steps=1, score_fn_clip=100.0)
+        MCMCConfig(
+            delta=0.04, friction=1.0, M=1.0, steps=args.steps,
+            save_every_n_steps=args.steps - 1, score_fn_clip=100.0,
+        )
     )
 
     @jax.jit
     def walk(params, y0, key):
-        with jax.named_scope("walk"):
-            return mcmc(
-                key,
-                y0,
-                lambda y: den.score(params, batch.replace_pos(y), 0.04),
-                v_init="gaussian",
-                mask=mask,
-            )[0]
+        def score_fn(y):
+            return den.score(params, batch.replace_pos(y), sigma)
+
+        y, v, y_traj, s_traj = mcmc(key, y0, score_fn, v_init="gaussian", mask=mask)
+        return y
 
     y0 = batch.pos
-    y = walk(params, y0, jax.random.PRNGKey(1))  # compile
+    t0 = time.perf_counter()
+    y = walk(params, y0, jax.random.PRNGKey(1))
     jax.block_until_ready(y)
+    print(f"# compile+run {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
-    jax.profiler.start_trace(args.trace_dir)
     t0 = time.perf_counter()
     y = walk(params, y, jax.random.PRNGKey(2))
     jax.block_until_ready(y)
-    elapsed = time.perf_counter() - t0
-    jax.profiler.stop_trace()
+    wall = time.perf_counter() - t0
     print(
-        f"traced {args.steps - 1} steps x {args.chains} chains in {elapsed:.3f}s "
-        f"({elapsed * 1e3 / (args.steps - 1):.2f} ms/step) -> {args.trace_dir}"
+        f"# steady: {wall * 1e3 / (args.steps - 1):.3f} ms/step "
+        f"(N={args.n}/{pad}, G={args.chains})",
+        file=sys.stderr, flush=True,
     )
+
+    os.makedirs(args.out, exist_ok=True)
+    with jax.profiler.trace(args.out):
+        y = walk(params, y, jax.random.PRNGKey(3))
+        jax.block_until_ready(y)
+
+    try:
+        rows = parse_xplanes(args.out)
+    except Exception as e:
+        print(f"XPLANE PARSE FAILED: {type(e).__name__}: {e}")
+        print("trace files:", glob.glob(os.path.join(args.out, "**", "*"), recursive=True))
+        sys.exit(2)
+
+    if not rows:
+        print("NO TRACE DATA captured (device tracing likely unsupported through tunnel)")
+        sys.exit(3)
+
+    # device planes first, by total time
+    rows.sort(key=lambda r: -r[3])
+    print(f"{'plane':<28} {'line':<20} {'us':>10} {'n':>5}  event")
+    shown = 0
+    for plane, line, name, ps, cnt in rows:
+        if shown >= args.top:
+            break
+        print(f"{plane[:28]:<28} {line[:20]:<20} {ps / 1e6:>10.1f} {cnt:>5}  {name[:90]}")
+        shown += 1
 
 
 if __name__ == "__main__":
