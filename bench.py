@@ -112,13 +112,34 @@ def main():
     jax.block_until_ready(xhat_traj)
     log(f"walk-jump compile+run {time.perf_counter() - t0:.1f}s; frames={y_traj.shape[0]}")
 
-    # timed runs
+    # timed runs. Sync via a SCALAR device->host fetch, not block_until_ready:
+    # right after a long cold compile the tunnel has been observed to ack
+    # block_until_ready before the dispatch actually executed (a 101-step
+    # walk "finishing" in 1 ms); a value fetch cannot return early. Timings
+    # faster than 1 us/step are physically impossible on this chip — treat
+    # them as that artifact and retry.
+    min_plausible = (STEPS - 1) * 1e-6
     times = []
-    for i in range(2):
+    for i in range(6):
         t0 = time.perf_counter()
         y, v, y_traj, xhat_traj = walk_jump(params, y, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(xhat_traj)
-        times.append(time.perf_counter() - t0)
+        sync = float(jnp.sum(xhat_traj[-1, 0]))
+        dt = time.perf_counter() - t0
+        if dt >= min_plausible:
+            times.append(dt)
+        else:
+            log(f"implausible timing {dt * 1e3:.3f} ms discarded (sync={sync:.3g})")
+        if len(times) >= 2:
+            break
+    if not times:
+        print(json.dumps({
+            "metric": "walkjump_ms_per_sample_4AA",
+            "value": None,
+            "unit": "ms/sample",
+            "vs_baseline": None,
+            "error": "all timings implausibly fast (tunnel sync artifact)",
+        }), flush=True)
+        return
 
     elapsed = min(times)
     n_frames = int(y_traj.shape[0])
@@ -188,7 +209,7 @@ def main():
         if offload:
             np.asarray(checksum)  # host sync per chunk (drain proxy)
         total_frames += seg_steps + 1
-    jax.block_until_ready(checksum)
+    float(checksum)  # scalar fetch: real completion sync (see headline note)
     ss_elapsed = time.perf_counter() - t0
     ss_ms = ss_elapsed * 1e3 / (NUM_CHAINS * total_frames)
     print(json.dumps({

@@ -893,12 +893,17 @@ def _conv_block_body(
         return outs[:-1], outs[-1]
 
     blocks_d, deg_d = stream(ef, ei, None, b1d, P, reps=N)
-    blocks_b, deg_b = stream(bf, ebd.astype(cdt), ebsT.astype(cdt), b1b, B)
+    import os as _os  # TEMP EXPERIMENT: bonds-stream share measurement
+    if _os.environ.get("JAMUN_SKIP_BONDS"):
+        inv_deg = 1.0 / jnp.maximum(deg_d, 1.0)
+        norm = [(bd * inv_deg).astype(cdt) for bd in blocks_d]
+    else:
+        blocks_b, deg_b = stream(bf, ebd.astype(cdt), ebsT.astype(cdt), b1b, B)
 
-    inv_deg = 1.0 / jnp.maximum(deg_d + deg_b, 1.0)  # [1, N]
-    norm = [
-        ((bd + bb) * inv_deg).astype(cdt) for bd, bb in zip(blocks_d, blocks_b)
-    ]
+        inv_deg = 1.0 / jnp.maximum(deg_d + deg_b, 1.0)  # [1, N]
+        norm = [
+            ((bd + bb) * inv_deg).astype(cdt) for bd, bb in zip(blocks_d, blocks_b)
+        ]
     if V > 0:
         o1n, o2y, o2z, o2x, o3y, o3z, o3x, o4n, o5y, o5z, o5x = norm
         in0 = jnp.concatenate([o1n, o4n], axis=0)  # [Sp + Vp, N]

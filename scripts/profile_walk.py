@@ -23,29 +23,33 @@ import time
 from collections import defaultdict
 
 
-def parse_xplanes(trace_dir):
-    """Return [(plane_name, line_name, event_name, total_ps, count)] from all
-    .xplane.pb files under trace_dir, using tensorflow's xplane proto."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+def parse_traces(trace_dir):
+    """Return [(process_name, event_name, total_us, count)] aggregated from
+    all Chrome-format *.trace.json.gz files the profiler writes (this image's
+    tensorflow does not ship the xplane proto, so the .xplane.pb sibling is
+    only readable via xprof's converters — which report Pallas custom calls
+    as opaque anyway; the Chrome trace carries the same device timeline)."""
+    import gzip
+    import json
 
-    rows = []
+    agg = defaultdict(lambda: [0.0, 0])
     for path in glob.glob(
-        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
     ):
-        space = xplane_pb2.XSpace()
-        with open(path, "rb") as f:
-            space.ParseFromString(f.read())
-        for plane in space.planes:
-            emeta = plane.event_metadata
-            for line in plane.lines:
-                agg = defaultdict(lambda: [0, 0])
-                for ev in line.events:
-                    name = emeta[ev.metadata_id].name if ev.metadata_id in emeta else "?"
-                    agg[name][0] += ev.duration_ps
-                    agg[name][1] += 1
-                for name, (ps, cnt) in agg.items():
-                    rows.append((plane.name, line.name or str(line.id), name, ps, cnt))
-    return rows
+        with gzip.open(path) as f:
+            tr = json.load(f)
+        evs = tr["traceEvents"] if isinstance(tr, dict) else tr
+        names = {
+            e["pid"]: e["args"].get("name", "")
+            for e in evs
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        for e in evs:
+            if e.get("ph") == "X":
+                key = (names.get(e["pid"], ""), e["name"])
+                agg[key][0] += e.get("dur", 0)
+                agg[key][1] += 1
+    return [(proc, name, us, cnt) for (proc, name), (us, cnt) in agg.items()]
 
 
 def main():
@@ -122,9 +126,9 @@ def main():
         jax.block_until_ready(y)
 
     try:
-        rows = parse_xplanes(args.out)
+        rows = parse_traces(args.out)
     except Exception as e:
-        print(f"XPLANE PARSE FAILED: {type(e).__name__}: {e}")
+        print(f"TRACE PARSE FAILED: {type(e).__name__}: {e}")
         print("trace files:", glob.glob(os.path.join(args.out, "**", "*"), recursive=True))
         sys.exit(2)
 
@@ -132,15 +136,11 @@ def main():
         print("NO TRACE DATA captured (device tracing likely unsupported through tunnel)")
         sys.exit(3)
 
-    # device planes first, by total time
-    rows.sort(key=lambda r: -r[3])
-    print(f"{'plane':<28} {'line':<20} {'us':>10} {'n':>5}  event")
-    shown = 0
-    for plane, line, name, ps, cnt in rows:
-        if shown >= args.top:
-            break
-        print(f"{plane[:28]:<28} {line[:20]:<20} {ps / 1e6:>10.1f} {cnt:>5}  {name[:90]}")
-        shown += 1
+    # device events first, by total time
+    dev = sorted((r for r in rows if r[0].startswith("/device")), key=lambda r: -r[2])
+    print(f"{'process':<22} {'ms':>9} {'n':>5}  event")
+    for proc, name, us, cnt in dev[: args.top]:
+        print(f"{proc[:22]:<22} {us / 1e3:>9.2f} {cnt:>5}  {name[:100]}")
 
 
 if __name__ == "__main__":
