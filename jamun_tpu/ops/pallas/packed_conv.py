@@ -825,6 +825,9 @@ def _conv_block_body(
     if fuse_block:
         Sc, Gt, Vg = gate_shape
         Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
+    # o2-fold applies whenever a real 1e post-linear exists (see stream());
+    # with no 1e output the o2 path is dead anyway and keeps the legacy shape
+    fold_o2 = pl1 is not None and (Vg if fuse_block else V1) > 0
 
     def stream(feat, agg_rhs, gatherT, b1_eff, L, reps=None):
         """One edge stream (dense pairs or bonds): radial MLP -> messages
@@ -856,10 +859,29 @@ def _conv_block_body(
         w2p = w_all[Sp : 2 * Sp]
         m1 = w1p * sj
         t2 = w2p * sj
-        shyS = jnp.broadcast_to(shy, (Sp, L))
-        shzS = jnp.broadcast_to(shz, (Sp, L))
-        shxS = jnp.broadcast_to(shx, (Sp, L))
-        msgs = [m1, t2 * shyS, t2 * shzS, t2 * shxS]
+        if fold_o2:
+            # o2-fold: the post-linear's o2 columns commute past the per-pair
+            # SH scalar rows — pl1a @ (t2 * sh_c) == (pl1a @ t2) * sh_c — so
+            # ONE [V1p, Sp] @ [Sp, L] matmul (K = Sp: a full MXU contraction)
+            # replaces the three WIDEST (Sp-row) message blocks with V1p-row
+            # blocks BEFORE aggregation. At flagship widths this cuts the
+            # aggregation matmuls (the kernel's dominant MXU term) from 737
+            # to 449 rows and the t2*sh VPU products from Sp to V1p rows.
+            z2 = jnp.dot(
+                pl1[:, 0:Sp], t2, preferred_element_type=f32, precision=prec
+            ).astype(cdt)
+            Zr = z2.shape[0]
+            msgs = [
+                m1,
+                z2 * jnp.broadcast_to(shy, (Zr, L)),
+                z2 * jnp.broadcast_to(shz, (Zr, L)),
+                z2 * jnp.broadcast_to(shx, (Zr, L)),
+            ]
+        else:
+            shyS = jnp.broadcast_to(shy, (Sp, L))
+            shzS = jnp.broadcast_to(shz, (Sp, L))
+            shxS = jnp.broadcast_to(shx, (Sp, L))
+            msgs = [m1, t2 * shyS, t2 * shzS, t2 * shxS]
         if V > 0:
             if reps is not None:
                 vj = pltpu.repeat(nf[Sp : Sp + 3 * Vp], reps, axis=1)
@@ -907,31 +929,48 @@ def _conv_block_body(
     if V > 0:
         o1n, o2y, o2z, o2x, o3y, o3z, o3x, o4n, o5y, o5z, o5x = norm
         in0 = jnp.concatenate([o1n, o4n], axis=0)  # [Sp + Vp, N]
-        in1 = [
-            jnp.concatenate([a, b, c], axis=0)  # [Sp + 2Vp, N]
-            for a, b, c in ((o2y, o3y, o5y), (o2z, o3z, o5z), (o2x, o3x, o5x))
-        ]
+        if fold_o2:
+            # o2 slots hold the pre-folded z2*sh blocks ([V1p, N] after agg);
+            # only the o3/o5 columns of pl1 remain to apply post-agg
+            in1v = [
+                jnp.concatenate([b, c], axis=0)  # [2Vp, N]
+                for b, c in ((o3y, o5y), (o3z, o5z), (o3x, o5x))
+            ]
+        else:
+            in1 = [
+                jnp.concatenate([a, b, c], axis=0)  # [Sp + 2Vp, N]
+                for a, b, c in ((o2y, o3y, o5y), (o2z, o3z, o5z), (o2x, o3x, o5x))
+            ]
     else:
         o1n, o2y, o2z, o2x = norm
         in0 = o1n
+        in1v = None
         in1 = [o2y, o2z, o2x]
+
+    def out1(c):
+        """1e output component c: folded z2 part + remaining pl1 columns."""
+        o2c = (o2y, o2z, o2x)[c]
+        if not fold_o2:
+            return jnp.dot(pl1, in1[c], preferred_element_type=f32, precision=prec)
+        r = o2c.astype(f32)
+        if V > 0:
+            r = r + jnp.dot(
+                pl1[:, Sp : Sp + 2 * Vp], in1v[c],
+                preferred_element_type=f32, precision=prec,
+            )
+        return r
 
     if not fuse_block:
         parts = [jnp.dot(pl0, in0, preferred_element_type=f32, precision=prec)]
         if V1 > 0:
             for c in range(3):
-                parts.append(
-                    jnp.dot(pl1, in1[c], preferred_element_type=f32, precision=prec)
-                )
+                parts.append(out1(c))
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     # --- fused ConvBlock completion: gate -> linear -> + linear skip ---
     # post-linear with per-block row slots [scalars Scp | gates Gtp]
     conv0 = jnp.dot(pl0, in0, preferred_element_type=f32, precision=prec)
-    conv1 = [
-        jnp.dot(pl1, in1[c], preferred_element_type=f32, precision=prec)
-        for c in range(3)
-    ]  # [Vgp, N] each
+    conv1 = [out1(c) for c in range(3)]  # [Vgp, N] each
     # Gate (reference defaults): LeakyReLU(0.01) scalars, sigmoid gates
     scal = jax.nn.leaky_relu(conv0[0:Scp], 0.01).astype(cdt)
     gates = jax.nn.sigmoid(conv0[Scp : Scp + Gtp])

@@ -89,14 +89,19 @@ def main():
 
         return jax.lax.fori_loop(0, args.steps, body, x0)
 
+    # sync via SCALAR value fetches: block_until_ready through the tunnel has
+    # been observed to ack before execution right after a cold compile
     t0 = time.time()
     out = chain(x)
-    out.block_until_ready()
+    float(jnp.sum(out.astype(jnp.float32)))
     comp = time.time() - t0
-    t0 = time.time()
-    out = chain(x)
-    out.block_until_ready()
-    dt = (time.time() - t0) / args.steps * 1e3
+    dt = 0.0
+    while dt < args.steps * 1e-6:  # < 1 us/call is physically impossible
+        t0 = time.time()
+        out = chain(x)
+        float(jnp.sum(out.astype(jnp.float32)))
+        dt = time.time() - t0
+    dt = dt / args.steps * 1e3
     tag = "NOBONDS" if os.environ.get("JAMUN_SKIP_BONDS") else "full   "
     print(
         f"N={args.n} G={args.g} {tag}: {dt:7.3f} ms/layer-call (compile {comp:.1f}s) "

@@ -82,14 +82,20 @@ def main():
             return mcmc(key, y0, score_fn, v_init="gaussian", mask=mask)
 
         y0 = batch.pos + SIGMA * jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape) * mask
+        # sync via a SCALAR value fetch: block_until_ready through the tunnel
+        # has been observed to ack before execution (esp. after cold compiles)
         t0 = time.perf_counter()
         out = walk(params, y0, jax.random.PRNGKey(2))
-        jax.block_until_ready(out[0])
+        float(jnp.sum(out[0][0]))
         c = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = walk(params, out[0], jax.random.PRNGKey(3))
-        jax.block_until_ready(out[0])
-        t = time.perf_counter() - t0
+        t = 0.0
+        for i in range(5):
+            t0 = time.perf_counter()
+            out = walk(params, out[0], jax.random.PRNGKey(3 + i))
+            float(jnp.sum(out[0][0]))
+            t = time.perf_counter() - t0
+            if t >= 100e-6 * 100:  # >= 1 us/step: plausible
+                break
         ms = t * 1e3 / (G * 101)
         vs = f"= {ref_ms/ms:.1f}x the reference's {ref_ms} ms" if ref_ms else "(no published baseline)"
         print(

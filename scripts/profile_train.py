@@ -24,6 +24,8 @@ def main():
     parser.add_argument("--atoms", type=int, default=22)
     parser.add_argument("--pad", type=int, default=24)
     parser.add_argument("--tp", default="uvu", choices=["uvu", "uvw"])
+    parser.add_argument("--pallas", action="store_true",
+                        help="fused kernel path (fwd + custom-VJP backward)")
     args = parser.parse_args()
 
     import optax
@@ -36,7 +38,7 @@ def main():
     from jamun_tpu.utils.testing import make_test_batch
 
     setup_jax()
-    arch = E3Conv(tensor_product=args.tp, dtype=jnp.bfloat16)
+    arch = E3Conv(tensor_product=args.tp, dtype=jnp.bfloat16, use_pallas=args.pallas)
     den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.3))
     batch = make_test_batch(
         num_graphs=args.batch_size,

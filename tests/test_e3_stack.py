@@ -29,6 +29,7 @@ def _setup(dtype=None):
     return base, stack, params, batch, c_noise, cutoff
 
 
+@pytest.mark.kernelheavy
 def test_fused_stack_matches_layerwise():
     base, stack, params, batch, c_noise, cutoff = _setup()
     out_ref = np.asarray(jax.jit(base.apply)(params, batch, c_noise, cutoff))
@@ -43,6 +44,7 @@ def test_fused_stack_matches_layerwise():
 # (--stack vs default) and the sample CLI.
 
 
+@pytest.mark.kernelheavy
 def test_fused_stack_denoiser_score():
     """The stack path drives the full Denoiser.score (the walk's hot call)."""
     from jamun_tpu.models.denoiser import Denoiser, DenoiserConfig
@@ -63,6 +65,7 @@ def test_fused_stack_denoiser_score():
     np.testing.assert_allclose(s_stk, s_ref, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.kernelheavy
 def test_stack_gate_rejects_unsupported():
     """scan_layers / multi-sigma c_noise fall back to the layerwise path."""
     stack_scan = E3Conv(**{**ARCH, "n_layers": 2}, fused_stack=True, scan_layers=True)
@@ -74,6 +77,7 @@ def test_stack_gate_rejects_unsupported():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.kernelheavy
 def test_stack_non_tile_aligned_head_widths():
     """Head packing pads BOTH dims: S=40 is not a 16-multiple, so the l=0
     final-head rows [mul, 40] need column padding to Sp=48. Regression for
@@ -110,6 +114,7 @@ def test_stack_gate_rejects_odd_parity_output():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.kernelheavy
 def test_stack_odd_unaligned_n():
     """Odd N (17) — the exact-N padding regime bench.py now defaults to
     (N=44/19); guards the iota/eye-row/pair-index logic off 8-multiples."""

@@ -266,6 +266,7 @@ def test_radial_bases():
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.kernelheavy
 def test_equiformer_jit_and_grad():
     key = jax.random.PRNGKey(8)
     pos, s, v, node_mask, pair_mask = _make_inputs(key, G=1, N=8, S=4, n_valid=(8,))

@@ -86,6 +86,7 @@ def test_denoiser_score_and_xhat(tiny_model):
     assert np.isclose(float(den.effective_radial_cutoff(sigma)), np.sqrt(1.0 + 6 * sigma**2))
 
 
+@pytest.mark.kernelheavy
 def test_denoiser_training_loss(tiny_model):
     arch, _, params, batch, _, _ = tiny_model
     den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.5))

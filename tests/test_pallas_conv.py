@@ -91,6 +91,7 @@ def test_packed_conv_scalar_only_matches_xla():
     "variant",
     ["packed", pytest.param("plane", marks=pytest.mark.slow)],
 )
+@pytest.mark.kernelheavy
 def test_pallas_e3conv_matches_xla(variant):
     from jamun_tpu.models.e3conv import E3Conv
 
@@ -207,6 +208,7 @@ def test_pallas_with_scan_layers():
     np.testing.assert_allclose(out_pal, out_ref, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.kernelheavy
 def test_kernel_path_trainable_grad_parity():
     """The hand-written backward kernel (custom VJP) matches XLA autodiff of
     the reference ConvBlock path for every parameter and the input.
@@ -375,6 +377,7 @@ def test_tiled_kernel_grad_parity_beyond_128():
     assert worst < 5e-4, f"worst relative grad error {worst}"
 
 
+@pytest.mark.kernelheavy
 def test_v2_xla_reference_matches_kernel():
     """The shared-body XLA reference (`xla_reference=True`) agrees with the
     interpret-mode kernel bit-for-bit-close — the compile-anywhere oracle."""
@@ -458,6 +461,7 @@ def test_bundled_agg_parity_and_grouping():
     assert "concatenate" not in str(jaxpr)
 
 
+@pytest.mark.kernelheavy
 def test_transposed_flags_degrade_gracefully():
     """transposed_in/out on a config the fused-block kernel does NOT support
     (uvw tensor product here) must fall back to the standard path with layout
