@@ -2065,15 +2065,22 @@ def _block_body(
         return (mm(W.w2T, h) + W.b2T).astype(cdt)  # [Wp, L]
 
     def path_messages(sj, vj, shy, shz, shx, w_all, L):
-        """The 11 (V>0) / 4 (V=0) dtp path messages, in block order."""
+        """The 11 (V>0) / 4 (V=0) dtp path messages, in block order, with the
+        o2-fold: pl1's o2 columns commute past the SH scalar rows and the
+        aggregation (see `_conv_block_body`), so the three Sp-row t2*sh
+        blocks become Vgp-row z2*sh blocks before the per-block agg matmul."""
         w1p = w_all[0:Sp]
         w2p = w_all[Sp : 2 * Sp]
         m1 = w1p * sj
         t2 = w2p * sj
-        shyS = jnp.broadcast_to(shy, (Sp, L))
-        shzS = jnp.broadcast_to(shz, (Sp, L))
-        shxS = jnp.broadcast_to(shx, (Sp, L))
-        msgs = [m1, t2 * shyS, t2 * shzS, t2 * shxS]
+        z2 = mm(W.pl1T[:, 0:Sp], t2).astype(cdt)
+        Zr = z2.shape[0]
+        msgs = [
+            m1,
+            z2 * jnp.broadcast_to(shy, (Zr, L)),
+            z2 * jnp.broadcast_to(shz, (Zr, L)),
+            z2 * jnp.broadcast_to(shx, (Zr, L)),
+        ]
         if V > 0:
             vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
             w3p = w_all[2 * Sp : 2 * Sp + Vp]
@@ -2122,19 +2129,24 @@ def _block_body(
     inv_deg = 1.0 / jnp.maximum(deg_d + deg_b, 1.0)  # [1, Nblk]
     norm = [((bd + bb) * inv_deg).astype(cdt) for bd, bb in zip(blocks_d, blocks_b)]
     if V > 0:
-        o1n, o2y, o2z, o2x, o3y, o3z, o3x, o4n, o5y, o5z, o5x = norm
+        # o2 slots hold the pre-folded z2*sh aggregates ([Vgp, Nblk])
+        o1n, z2y, z2z, z2x, o3y, o3z, o3x, o4n, o5y, o5z, o5x = norm
         in0 = jnp.concatenate([o1n, o4n], axis=0)
-        in1 = [
-            jnp.concatenate([a, b, c], axis=0)
-            for a, b, c in ((o2y, o3y, o5y), (o2z, o3z, o5z), (o2x, o3x, o5x))
+        in1v = [
+            jnp.concatenate([b, c], axis=0)  # [2Vp, Nblk]
+            for b, c in ((o3y, o5y), (o3z, o5z), (o3x, o5x))
         ]
+        conv1 = [
+            (z2y, z2z, z2x)[c].astype(f32)
+            + mm(W.pl1T[:, Sp : Sp + 2 * Vp], in1v[c])
+            for c in range(3)
+        ]  # [Vgp, Nblk]
     else:
-        o1n, o2y, o2z, o2x = norm
+        o1n, z2y, z2z, z2x = norm
         in0 = o1n
-        in1 = [o2y, o2z, o2x]
+        conv1 = [z.astype(f32) for z in (z2y, z2z, z2x)]
 
     conv0 = mm(W.pl0T, in0)                        # [Scp + Gtp, Nblk]
-    conv1 = [mm(W.pl1T, in1[c]) for c in range(3)] # [Vgp, Nblk]
     scal = jax.nn.leaky_relu(conv0[0:Scp], 0.01).astype(cdt)
     gates = jax.nn.sigmoid(conv0[Scp : Scp + Gtp])
     gated = [(conv1[c] * gates[0:Vgp]).astype(cdt) for c in range(3)]
