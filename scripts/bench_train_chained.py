@@ -63,14 +63,22 @@ def main():
                 return s2
             return jax.lax.fori_loop(0, args.steps, body, state)
 
+        # sync via a SCALAR value fetch: block_until_ready through the tunnel
+        # has been observed to ack before execution (BENCH_NOTES round 3d)
+        def sync(out):
+            return float(jnp.sum(jax.tree_util.tree_leaves(out.params)[0]))
+
         t0 = time.time()
         out = chain(state)
-        jax.block_until_ready(out.params)
+        sync(out)
         compile_s = time.time() - t0
-        t0 = time.time()
-        out = chain(state)
-        jax.block_until_ready(out.params)
-        dt = (time.time() - t0) / args.steps * 1e3
+        dt = 0.0
+        while dt < args.steps * 1e-6:
+            t0 = time.time()
+            out = chain(state)
+            sync(out)
+            dt = time.time() - t0
+        dt = dt / args.steps * 1e3
         print(
             f"{path:>6}: {dt:7.2f} ms/step  (b={args.batch_size}, N={args.pad}, "
             f"{args.steps}-step chain, compile {compile_s:.1f}s)",
