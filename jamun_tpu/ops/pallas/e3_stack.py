@@ -59,11 +59,15 @@ def stack_supported(N: int, S: int, V: int, S_emb: int, out_blocks_final) -> boo
     (measured >20 min at N=112 vs 1-9 min at N <= 48; a fori_loop body with
     dynamic weight indexing was slower still). Larger systems use the
     per-layer chained kernels, which pipeline their edge-feature HBM reads
-    and compile per-block."""
-    from jamun_tpu.ops.pallas.packed_conv import packed_shape_bounds_ok
+    and compile per-block.
+
+    JAMUN_STACK_NMAX (process-start only, like JAMUN_STACK_K) raises the cap
+    for compile-time experiments — the round-3 o2-fold shrank the unrolled
+    body ~25%, which may have moved the pathology threshold."""
+    from jamun_tpu.ops.pallas.packed_conv import _env_k, packed_shape_bounds_ok
 
     return (
-        N <= 64
+        N <= _env_k("JAMUN_STACK_NMAX", 64)
         and packed_shape_bounds_ok(N, S, V)
         and packed_shape_bounds_ok(N, S_emb, 0)
         and V >= 16

@@ -64,7 +64,8 @@ def main():
         if args.stack and N > 64:
             print(
                 f"{label}: NOTE --stack requested but N={N} exceeds the stack "
-                "kernel's N<=64 gate; this row measures the LAYERWISE path",
+                "kernel's default N<=64 gate (JAMUN_STACK_NMAX raises it); "
+                "without the override this row measures the LAYERWISE path",
                 flush=True,
             )
         arch = E3Conv(
