@@ -200,7 +200,9 @@ def main():
     log(f"steady-state: {n_seg} x {seg_steps} steps, offload={'on' if offload else 'off'}")
     v0 = jnp.zeros_like(y)
     yc, vc, checksum = walk_segment(params, y, v0, jax.random.PRNGKey(7))
-    jax.block_until_ready(checksum)  # compile + warm segment
+    float(checksum)  # compile + warm segment; scalar fetch, NOT
+    # block_until_ready — the tunnel acks the latter early after cold
+    # compiles, which would leak the warm segment into the timed region
     t0 = time.perf_counter()
     total_frames = 0
     yc, vc = y, v0

@@ -85,6 +85,14 @@ _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 
 _TILE = 16  # sublane tile (bf16); f32's 8 divides it
 
+# Measurement-only switch (scripts/bench_bonds_share.py): drop the bond
+# stream from the fused-layer forward to measure its share. WRONG NUMERICS —
+# forward/backward disagree when set. Deliberately a module global rather
+# than an env var so it can only be enabled by in-process code; jit caches
+# do not key on it, so set it before the first kernel trace and never flip
+# it mid-process.
+_SKIP_BONDS_FOR_MEASUREMENT = False
+
 
 _K_ENV_SEEN: dict = {}
 
@@ -915,8 +923,12 @@ def _conv_block_body(
         return outs[:-1], outs[-1]
 
     blocks_d, deg_d = stream(ef, ei, None, b1d, P, reps=N)
-    import os as _os  # TEMP EXPERIMENT: bonds-stream share measurement
-    if _os.environ.get("JAMUN_SKIP_BONDS"):
+    if _SKIP_BONDS_FOR_MEASUREMENT:
+        # WRONG NUMERICS, timing only (scripts/bench_bonds_share.py): the
+        # backward kernel still includes bonds, so this must never be on in
+        # a process that trains or samples. A module global (set explicitly
+        # in-process, never read from the environment) so a leaked env var
+        # cannot silently corrupt results.
         inv_deg = 1.0 / jnp.maximum(deg_d, 1.0)
         norm = [(bd * inv_deg).astype(cdt) for bd in blocks_d]
     else:

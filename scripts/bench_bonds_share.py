@@ -5,17 +5,18 @@ once on the dense [*, N^2] pair lanes, once on the tiny [*, 2N] bond lanes
 (`_conv_block_body` `stream(bf, ...)`). If per-op fixed cost dominates the
 bond stream, merging bond pairs into the dense lane dimension is a real
 lever. This times the real fused layer chained, with the bonds stream
-env-gated off (JAMUN_SKIP_BONDS=1; wrong numerics, timing only).
+switched off via the in-process measurement global
+`packed_conv._SKIP_BONDS_FOR_MEASUREMENT` (wrong numerics, timing only;
+deliberately NOT an env var so it cannot leak into real runs).
 
 Run: python scripts/bench_bonds_share.py [--n 44] [--g 256] [--steps 50]
-     JAMUN_SKIP_BONDS=1 python scripts/bench_bonds_share.py ...
+     python scripts/bench_bonds_share.py --skip-bonds ...
 """
 
 from __future__ import annotations
 
 import argparse
 import functools
-import os
 import time
 
 import jax
@@ -28,11 +29,17 @@ def main():
     ap.add_argument("--n", type=int, default=44)
     ap.add_argument("--g", type=int, default=256)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--skip-bonds", action="store_true",
+                    help="drop the bond stream (WRONG numerics; timing only)")
     args = ap.parse_args()
 
     from jamun_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
+    if args.skip_bonds:
+        import jamun_tpu.ops.pallas.packed_conv as packed_conv
+
+        packed_conv._SKIP_BONDS_FOR_MEASUREMENT = True
     from jamun_tpu.ops.conv import ConvBlock
     from jamun_tpu.ops.graph import dense_edge_data
     from jamun_tpu.ops.irreps import Irreps
@@ -89,22 +96,24 @@ def main():
 
         return jax.lax.fori_loop(0, args.steps, body, x0)
 
-    # sync via SCALAR value fetches: block_until_ready through the tunnel has
-    # been observed to ack before execution right after a cold compile
+    from jamun_tpu.utils.timing import timed_chain
+
+    def run():
+        float(jnp.sum(chain(x).astype(jnp.float32)))
+
     t0 = time.time()
-    out = chain(x)
-    float(jnp.sum(out.astype(jnp.float32)))
+    run()
     comp = time.time() - t0
-    dt = 0.0
-    while dt < args.steps * 1e-6:  # < 1 us/call is physically impossible
-        t0 = time.time()
-        out = chain(x)
-        float(jnp.sum(out.astype(jnp.float32)))
-        dt = time.time() - t0
-    dt = dt / args.steps * 1e3
-    tag = "NOBONDS" if os.environ.get("JAMUN_SKIP_BONDS") else "full   "
+    dt = timed_chain(run, args.steps)
+    tag = "NOBONDS" if args.skip_bonds else "full   "
+    if dt is None:
+        print(f"N={args.n} G={args.g} {tag}: TIMING FAILED (tunnel early-ack artifact)",
+              flush=True)
+        return
+    out = chain(x)
     print(
-        f"N={args.n} G={args.g} {tag}: {dt:7.3f} ms/layer-call (compile {comp:.1f}s) "
+        f"N={args.n} G={args.g} {tag}: {dt / args.steps * 1e3:7.3f} ms/layer-call "
+        f"(compile {comp:.1f}s) "
         f"finite={bool(jnp.isfinite(out.astype(jnp.float32)).all())}",
         flush=True,
     )

@@ -70,13 +70,15 @@ def _kernel(nf_ref, rad_ref, w1_ref, w2_ref, ei_ref, out_ref, scr_ref, *, N, var
     elif variant == "scratch":
         # bundle via sublane-slice stores into a VMEM scratch ref
         # (dynamic_update_slice has no Pallas TPU lowering; concat is the
-        # known-pathological path)
+        # known-pathological path). All 10 narrow blocks aggregated, same as
+        # split: 4 + 4 bundled, the trailing 2 separate.
         out_ref[0, 0] = agg(wide)
         for b in range(2):
             for i in range(4):
                 scr_ref[32 * i : 32 * i + 32] = narrow[4 * b + i]
             out_ref[0, 1 + b] = agg(scr_ref[...])
         out_ref[0, 3, 0:32] = agg(narrow[8])
+        out_ref[0, 3, 32:64] = agg(narrow[9])
     else:  # concat
         b1 = jnp.concatenate(narrow[0:4], axis=0)
         b2 = jnp.concatenate(narrow[4:8], axis=0)
@@ -84,6 +86,7 @@ def _kernel(nf_ref, rad_ref, w1_ref, w2_ref, ei_ref, out_ref, scr_ref, *, N, var
         out_ref[0, 1] = agg(b1)
         out_ref[0, 2] = agg(b2)
         out_ref[0, 3, 0:32] = agg(narrow[8])
+        out_ref[0, 3, 32:64] = agg(narrow[9])
 
 
 def run_variant(variant, N, G, steps, cdt=jnp.bfloat16):
@@ -127,17 +130,21 @@ def run_variant(variant, N, G, steps, cdt=jnp.bfloat16):
 
         return jax.lax.fori_loop(0, steps, body, nf0)
 
+    from jamun_tpu.utils.timing import timed_chain
+
+    def run():
+        float(jnp.sum(chain(nf).astype(f32)))
+
     t0 = time.time()
-    out = chain(nf)
-    float(jnp.sum(out.astype(f32)))
+    run()
     comp = time.time() - t0
-    dt = 0.0
-    while dt < steps * 1e-6:
-        t0 = time.time()
-        out = chain(nf)
-        float(jnp.sum(out.astype(f32)))
-        dt = time.time() - t0
+    dt = timed_chain(run, steps)
+    if dt is None:
+        print(f"N={N} G={G} {variant:<7}: TIMING FAILED (tunnel early-ack artifact)",
+              flush=True)
+        return
     dt = dt / steps * 1e3
+    out = chain(nf)
     print(
         f"N={N} G={G} {variant:<7}: {dt:7.3f} ms/call (compile {comp:.1f}s) "
         f"finite={bool(jnp.isfinite(out.astype(f32)).all())}",

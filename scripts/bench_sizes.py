@@ -85,18 +85,24 @@ def main():
         y0 = batch.pos + SIGMA * jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape) * mask
         # sync via a SCALAR value fetch: block_until_ready through the tunnel
         # has been observed to ack before execution (esp. after cold compiles)
+        from jamun_tpu.utils.timing import timed_chain
+
         t0 = time.perf_counter()
         out = walk(params, y0, jax.random.PRNGKey(2))
         float(jnp.sum(out[0][0]))
         c = time.perf_counter() - t0
-        t = 0.0
-        for i in range(5):
-            t0 = time.perf_counter()
-            out = walk(params, out[0], jax.random.PRNGKey(3 + i))
-            float(jnp.sum(out[0][0]))
-            t = time.perf_counter() - t0
-            if t >= 100e-6 * 100:  # >= 1 us/step: plausible
-                break
+        state = {"y": out[0], "i": 0}
+
+        def run():
+            state["i"] += 1
+            o = walk(params, state["y"], jax.random.PRNGKey(2 + state["i"]))
+            float(jnp.sum(o[0][0]))
+            state["y"] = o[0]
+
+        t = timed_chain(run, 100)
+        if t is None:
+            print(f"{label}: TIMING FAILED (tunnel early-ack artifact)", flush=True)
+            continue
         ms = t * 1e3 / (G * 101)
         vs = f"= {ref_ms/ms:.1f}x the reference's {ref_ms} ms" if ref_ms else "(no published baseline)"
         print(

@@ -162,14 +162,21 @@ def run_variant(variant, N, G, steps, cdt=jnp.bfloat16):
 
         return jax.lax.fori_loop(0, steps, body, nf0)
 
+    from jamun_tpu.utils.timing import timed_chain
+
+    def run():
+        float(jnp.sum(chain(nf).astype(f32)))
+
     t0 = time.time()
-    out = chain(nf)
-    out.block_until_ready()
+    run()
     comp = time.time() - t0
-    t0 = time.time()
+    dt = timed_chain(run, steps)
+    if dt is None:
+        print(f"N={N} G={G} {variant:<9}: TIMING FAILED (tunnel early-ack artifact)",
+              flush=True)
+        return None
+    dt = dt / steps * 1e3
     out = chain(nf)
-    out.block_until_ready()
-    dt = (time.time() - t0) / steps * 1e3
     print(
         f"N={N} G={G} {variant:<9}: {dt:7.3f} ms/call (compile {comp:.1f}s) "
         f"finite={bool(jnp.isfinite(out.astype(f32)).all())}",

@@ -68,16 +68,15 @@ def main():
         def sync(out):
             return float(jnp.sum(jax.tree_util.tree_leaves(out.params)[0]))
 
+        from jamun_tpu.utils.timing import timed_chain
+
         t0 = time.time()
-        out = chain(state)
-        sync(out)
+        sync(chain(state))
         compile_s = time.time() - t0
-        dt = 0.0
-        while dt < args.steps * 1e-6:
-            t0 = time.time()
-            out = chain(state)
-            sync(out)
-            dt = time.time() - t0
+        dt = timed_chain(lambda: sync(chain(state)), args.steps)
+        if dt is None:
+            print(f"{path:>6}: TIMING FAILED (tunnel early-ack artifact)", flush=True)
+            continue
         dt = dt / args.steps * 1e3
         print(
             f"{path:>6}: {dt:7.2f} ms/step  (b={args.batch_size}, N={args.pad}, "

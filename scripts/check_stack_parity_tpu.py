@@ -1,7 +1,7 @@
 """On-hardware bf16 parity spot-check: whole-model STACK kernel vs the
 layerwise kernel path vs the plain XLA fast path (NOTES_NEXT round-3 #5).
 
-CPU f32 parity is covered by tests/test_pallas_stack.py; this script checks
+CPU f32 parity is covered by tests/test_e3_stack.py; this script checks
 the compiled Mosaic kernels on the real TPU at the bench's bf16 shapes
 (N=44 exact-N 4AA and N=19 2AA), where Mosaic layout/precision choices can
 differ from interpret mode.
@@ -79,7 +79,10 @@ def main():
 
     setup_jax()
     print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
-    ok = run_case(44, 44) and run_case(19, 19)
+    # run BOTH cases even if the first fails (full diagnostic signal)
+    ok44 = run_case(44, 44)
+    ok19 = run_case(19, 19)
+    ok = ok44 and ok19
     print("PARITY " + ("PASS" if ok else "FAIL"))
     sys.exit(0 if ok else 1)
 

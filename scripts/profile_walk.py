@@ -7,7 +7,9 @@ hot spots are measured, not inferred.
 
 Usage:
   python scripts/profile_walk.py [--n 112] [--pad 112] [--chains 256]
-      [--steps 20] [--stack | --layerwise | --no-pallas] [--out DIR]
+      [--steps 20] [--stack | --no-pallas] [--out DIR]
+  (default path = the layerwise fused kernels; --stack for the whole-model
+  stack kernel, --no-pallas for the XLA fast path)
 
 Prints the top ops by self-time from the captured trace. The raw trace stays
 in --out (default /tmp/jaxprof) for tensorboard_plugin_profile if available.
