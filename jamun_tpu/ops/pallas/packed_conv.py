@@ -1396,6 +1396,14 @@ def _block_bwd_kernel(
     Sc, Gt, Vg = gate_shape
     Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
     prec = matmul_precision(cdt)
+    # o2-fold (mirrors _conv_block_body): pl1's o2 columns commute past the
+    # per-pair SH scalars and the aggregation, shrinking the three widest
+    # (Sp-row) blocks to Vgp rows in BOTH directions — the forward recompute
+    # aggregates folded z2*sh blocks, and the backward un-aggregates Vgp-row
+    # cotangents. The grad chains that used to read the Sp-row blocks are
+    # rebuilt exactly: t2_cot = pl1_o2^T @ dz2 and dpl1_o2 = dz2 @ t2^T
+    # (z2 = pl1_o2 @ t2 is linear, so this is reassociation, not new math).
+    fold_o2 = Vg > 0
 
     offt = jax.lax.broadcasted_iota(jnp.int32, (P, N), 0) - jax.lax.broadcasted_iota(
         jnp.int32, (P, N), 1
@@ -1452,7 +1460,14 @@ def _block_bwd_kernel(
             w1p = w_all[0:Sp]
             w2p = w_all[Sp : 2 * Sp]
             t2 = w2p * sj
-            msgs = [w1p * sj] + [t2 * sh[c][0:Sp] for c in range(3)]
+            if fold_o2:
+                z2 = mm(pl1_ref[...][:, 0:Sp], t2).astype(cdt)
+                msgs = [w1p * sj] + [
+                    z2 * jnp.broadcast_to((shy, shz, shx)[c], (Vgp, L))
+                    for c in range(3)
+                ]
+            else:
+                msgs = [w1p * sj] + [t2 * sh[c][0:Sp] for c in range(3)]
             if V > 0:
                 vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
                 w3p = w_all[2 * Sp : 2 * Sp + Vp]
@@ -1472,23 +1487,41 @@ def _block_bwd_kernel(
             blocks, deg = outs[:-1], outs[-1]
             return dict(
                 radial=radial, h32=h32, sig=sig, h=h, w_all=w_all, adj=adj,
-                adjS=adjS, sj=sj, vj=vj, sh=sh, blocks=blocks, deg=deg,
+                adjS=adjS, sj=sj, vj=vj, sh=sh, sh1=(shy, shz, shx), t2=t2,
+                blocks=blocks, deg=deg,
             )
 
         Fd = fwd_stream(ef_ref, ei, None, b1d_ref, P, reps=N)
         Fb = fwd_stream(bf_ref, ebd_ref[k].astype(cdt), ebsT_ref[k].astype(cdt), b1b_ref, B)
         inv_deg = 1.0 / jnp.maximum(Fd["deg"] + Fb["deg"], 1.0)
         norm = [((bd + bb) * inv_deg).astype(cdt) for bd, bb in zip(Fd["blocks"], Fb["blocks"])]
+        # with fold_o2 the o2 slots of `norm` hold the pre-folded z2*sh
+        # aggregates ([Vgp, N]); only pl1's o3/o5 columns apply post-agg
+        in1 = in1v = None
         if V > 0:
             o1n, o2y, o2z, o2x, o3y, o3z, o3x, o4n, o5y, o5z, o5x = norm
             in0 = jnp.concatenate([o1n, o4n], axis=0)
-            in1 = [jnp.concatenate([a, b, c], axis=0)
-                   for a, b, c in ((o2y, o3y, o5y), (o2z, o3z, o5z), (o2x, o3x, o5x))]
+            if fold_o2:
+                in1v = [jnp.concatenate([b, c], axis=0)  # [2Vp, N]
+                        for b, c in ((o3y, o5y), (o3z, o5z), (o3x, o5x))]
+            else:
+                in1 = [jnp.concatenate([a, b, c], axis=0)
+                       for a, b, c in ((o2y, o3y, o5y), (o2z, o3z, o5z), (o2x, o3x, o5x))]
         else:
+            o2y, o2z, o2x = norm[1], norm[2], norm[3]
             in0 = norm[0]
-            in1 = [norm[1], norm[2], norm[3]]
+            if not fold_o2:
+                in1 = [norm[1], norm[2], norm[3]]
         conv0 = mm(pl0_ref[...], in0)                       # [Scp+Gtp, N]
-        conv1 = [mm(pl1_ref[...], in1[c]) for c in range(3)]
+        if fold_o2:
+            conv1 = []
+            for c in range(3):
+                r = (o2y, o2z, o2x)[c].astype(f32)
+                if V > 0:
+                    r = r + mm(pl1_ref[...][:, Sp : Sp + 2 * Vp], in1v[c])
+                conv1.append(r)
+        else:
+            conv1 = [mm(pl1_ref[...], in1[c]) for c in range(3)]
         scal_pre = conv0[0:Scp]
         scal = jax.nn.leaky_relu(scal_pre, 0.01).astype(cdt)
         gates = jax.nn.sigmoid(conv0[Scp : Scp + Gtp])
@@ -1528,13 +1561,39 @@ def _block_bwd_kernel(
         # post-linear backward
         dpl0_ref[...] += mm(d_conv0, in0.swapaxes(0, 1))
         d_in0 = mm(pl0N_ref[...], d_conv0).astype(cdt)  # [In0p, N]
-        d_in1 = []
-        for c in range(3):
-            dpl1_ref[...] += mm(d_conv1[c], in1[c].swapaxes(0, 1))
-            d_in1.append(mm(pl1N_ref[...], d_conv1[c]).astype(cdt))  # [In1p, N]
+        if fold_o2:
+            # o2 columns of dpl1 come from per-pair quantities in bwd_stream
+            # (dpl1_o2 = dz2 @ t2^T, accumulated after both streams); only
+            # the o3/o5 columns read the aggregated inputs here
+            d_in35 = []
+            dpl1_35 = None
+            if V > 0:
+                dpl1_35 = jnp.zeros((Vgp, 2 * Vp), f32)
+                for c in range(3):
+                    dpl1_35 += mm(d_conv1[c], in1v[c].swapaxes(0, 1))
+                    d_in35.append(
+                        mm(pl1N_ref[...][Sp : Sp + 2 * Vp], d_conv1[c]).astype(cdt)
+                    )  # [2Vp, N]
+        else:
+            d_in1 = []
+            for c in range(3):
+                dpl1_ref[...] += mm(d_conv1[c], in1[c].swapaxes(0, 1))
+                d_in1.append(mm(pl1N_ref[...], d_conv1[c]).astype(cdt))  # [In1p, N]
 
-        # split back into per-path normalized-block cotangents
-        if V > 0:
+        # split back into per-path normalized-block cotangents (with fold_o2
+        # the o2 slots carry the Vgp-row cotangents of the folded aggregates:
+        # conv1 reads them directly, so their cotangent is d_conv1 itself)
+        if fold_o2:
+            if V > 0:
+                d_norm = [d_in0[0:Sp],
+                          d_conv1[0], d_conv1[1], d_conv1[2],
+                          d_in35[0][0:Vp], d_in35[1][0:Vp], d_in35[2][0:Vp],
+                          d_in0[Sp : Sp + Vp],
+                          d_in35[0][Vp : 2 * Vp], d_in35[1][Vp : 2 * Vp],
+                          d_in35[2][Vp : 2 * Vp]]
+            else:
+                d_norm = [d_in0[0:Sp], d_conv1[0], d_conv1[1], d_conv1[2]]
+        elif V > 0:
             d_norm = [d_in0[0:Sp],
                       d_in1[0][0:Sp], d_in1[1][0:Sp], d_in1[2][0:Sp],
                       d_in1[0][Sp : Sp + Vp], d_in1[1][Sp : Sp + Vp], d_in1[2][Sp : Sp + Vp],
@@ -1558,10 +1617,24 @@ def _block_bwd_kernel(
             d_m1 = unagg(d_blocks[0])
             d_sj = d_m1 * w1p
             d_w1p = d_m1 * sj
-            t2_cot = jnp.zeros((Sp, L), f32)
-            for c in range(3):
-                d_m2 = unagg(d_blocks[1 + c])
-                t2_cot += d_m2 * sh[c][0:Sp]
+            dpl1_o2 = None
+            if fold_o2:
+                # folded o2 chain: per-pair dz2 = sum_c unagg(D_c) * sh_c,
+                # then t2_cot = pl1_o2^T @ dz2 and dpl1_o2 = dz2 @ t2^T —
+                # Vgp-row un-aggregations instead of three Sp-row ones
+                dz2 = jnp.zeros((Vgp, L), f32)
+                for c in range(3):
+                    dz2 += unagg(d_blocks[1 + c]).astype(f32) * jnp.broadcast_to(
+                        F["sh1"][c], (Vgp, L)
+                    )
+                dz2 = dz2.astype(cdt)
+                t2_cot = mm(pl1N_ref[...][0:Sp], dz2)  # [Sp, L] f32
+                dpl1_o2 = mm(dz2, F["t2"].swapaxes(0, 1))  # [Vgp, Sp] f32
+            else:
+                t2_cot = jnp.zeros((Sp, L), f32)
+                for c in range(3):
+                    d_m2 = unagg(d_blocks[1 + c])
+                    t2_cot += d_m2 * sh[c][0:Sp]
             d_w2p = (t2_cot * sj).astype(cdt)
             d_sj = d_sj + t2_cot.astype(cdt) * w2p
             dws = [d_w1p.astype(cdt), d_w2p]
@@ -1609,12 +1682,18 @@ def _block_bwd_kernel(
                     (d_vj * jnp.broadcast_to(F["adj"], (3 * Vp, L))).astype(cdt),
                     gather_bwd_rhs,
                 )
-            return d_s_nodes, d_v_nodes
+            return d_s_nodes, d_v_nodes, dpl1_o2
 
-        ds_d, dv_d = bwd_stream(Fd, d_pre, eit, ej, db1d_ref, P)
-        ds_b, dv_b = bwd_stream(
+        ds_d, dv_d, po2_d = bwd_stream(Fd, d_pre, eit, ej, db1d_ref, P)
+        ds_b, dv_b, po2_b = bwd_stream(
             Fb, d_pre, ebdT_ref[k].astype(cdt), ebs_ref[k].astype(cdt), db1b_ref, B
         )
+        if fold_o2:
+            dpl1_o2 = po2_d + po2_b  # [Vgp, Sp] f32
+            if V > 0:
+                dpl1_ref[...] += jnp.concatenate([dpl1_o2, dpl1_35], axis=1)
+            else:
+                dpl1_ref[...] += dpl1_o2
 
         dx_s = d_x_s + ds_d + ds_b
         if V > 0:
