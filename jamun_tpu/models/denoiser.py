@@ -64,6 +64,16 @@ class Denoiser:
     def __init__(self, arch, config: DenoiserConfig):
         self.arch = arch
         self.config = config
+        # whether the arch's __call__ accepts the `training` dispatch flag
+        # (E3Conv does; Ophiuchus/contrib archs may not — then it isn't passed)
+        import inspect
+
+        try:
+            self._arch_takes_training = "training" in inspect.signature(
+                type(arch).__call__
+            ).parameters
+        except (TypeError, ValueError):
+            self._arch_takes_training = False
 
     # ---- init ----
 
@@ -78,22 +88,25 @@ class Denoiser:
     def effective_radial_cutoff(self, sigma):
         return jnp.sqrt(self.config.max_radius**2 + 6.0 * jnp.asarray(sigma) ** 2)
 
-    def xhat_normalized(self, params, y: GraphBatch, sigma) -> jnp.ndarray:
+    def xhat_normalized(
+        self, params, y: GraphBatch, sigma, training: bool = False
+    ) -> jnp.ndarray:
         D = y.pos.shape[-1]
         c_in, c_skip, c_out, c_noise = normalization_factors(
             sigma, self.config.average_squared_distance, D
         )
         radial_cutoff = self.effective_radial_cutoff(sigma) / c_in
         y_scaled = y.replace_pos(y.pos * c_in)
-        g_out = self.arch.apply(params, y_scaled, c_noise.reshape(-1), radial_cutoff)
+        kw = {"training": True} if (training and self._arch_takes_training) else {}
+        g_out = self.arch.apply(params, y_scaled, c_noise.reshape(-1), radial_cutoff, **kw)
         g_pos = irreps_to_vector(g_out)
         return c_skip * y.pos + c_out * g_pos
 
-    def xhat(self, params, y: GraphBatch, sigma) -> jnp.ndarray:
+    def xhat(self, params, y: GraphBatch, sigma, training: bool = False) -> jnp.ndarray:
         pos = y.pos
         if self.config.mean_center:
             pos = mean_center(pos, y.node_mask)
-        xhat_pos = self.xhat_normalized(params, y.replace_pos(pos), sigma)
+        xhat_pos = self.xhat_normalized(params, y.replace_pos(pos), sigma, training=training)
         if self.config.mean_center:
             xhat_pos = mean_center(xhat_pos, y.node_mask)
         return xhat_pos
@@ -121,7 +134,8 @@ class Denoiser:
         return x.replace_pos(pos)
 
     def noise_and_denoise(
-        self, params, key, x: GraphBatch, sigma, align_noisy_input: bool
+        self, params, key, x: GraphBatch, sigma, align_noisy_input: bool,
+        training: bool = False,
     ) -> Tuple[jnp.ndarray, GraphBatch, GraphBatch]:
         if self.config.mean_center:
             x = x.replace_pos(mean_center(x.pos, x.node_mask))
@@ -130,7 +144,7 @@ class Denoiser:
             y = y.replace_pos(mean_center(y.pos, y.node_mask))
         if align_noisy_input:
             y = y.replace_pos(kabsch_align(y.pos, x.pos, x.node_mask))
-        xhat_pos = self.xhat(params, y, sigma)
+        xhat_pos = self.xhat(params, y, sigma, training=training)
         return xhat_pos, y, x
 
     def compute_loss(
@@ -156,15 +170,22 @@ class Denoiser:
         }
 
     def noise_and_compute_loss(
-        self, params, key, x: GraphBatch, sigma, align_noisy_input: bool
+        self, params, key, x: GraphBatch, sigma, align_noisy_input: bool,
+        training: bool = False,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        xhat_pos, _, x_centered = self.noise_and_denoise(params, key, x, sigma, align_noisy_input)
+        xhat_pos, _, x_centered = self.noise_and_denoise(
+            params, key, x, sigma, align_noisy_input, training=training
+        )
         return self.compute_loss(x_centered, xhat_pos, sigma)
 
     def training_loss(self, params, key, x: GraphBatch, sigma) -> Tuple[jnp.ndarray, Dict]:
-        """Scalar loss averaged over valid graphs (the pjit-differentiated fn)."""
+        """Scalar loss averaged over valid graphs (the pjit-differentiated fn).
+
+        Passes training=True so the arch picks kernels with efficient
+        backwards (at N > 128 the XLA path — BENCH_NOTES round 3e)."""
         per_graph, aux = self.noise_and_compute_loss(
-            params, key, x, sigma, self.config.align_noisy_input_during_training
+            params, key, x, sigma, self.config.align_noisy_input_during_training,
+            training=True,
         )
         gm = x.graph_mask.astype(per_graph.dtype)
         denom = jnp.maximum(jnp.sum(gm), 1.0)

@@ -112,6 +112,12 @@ class E3Conv(nn.Module):
     # trips or kernel-boundary glue. Params are identical to the layer-by-
     # layer path (checkpoints interchange); not differentiable — training
     # configs must leave this off.
+    tiled_kernel_training: bool = False  # allow the gen-4 tiled kernel in
+    # differentiated (training=True) calls at N > 128. Off by default: its
+    # backward measured 2.2x SLOWER than XLA at N=256 b8 (63.6 vs 29.3
+    # ms/step, BENCH_NOTES round 3e) while its FORWARD is 1.8x faster — so
+    # training dispatches per-bucket (gen-3 kernels at N <= 128, XLA above)
+    # and sampling keeps the tiled kernel. Benchmarking escape hatch only.
 
     @nn.compact
     def __call__(
@@ -119,10 +125,15 @@ class E3Conv(nn.Module):
         batch: GraphBatch,
         c_noise: jnp.ndarray,
         radial_cutoff: jnp.ndarray,
+        training: bool = False,
     ) -> jnp.ndarray:
         """batch.pos are the *scaled* noisy positions (c_in * y). Returns the
         per-atom output irreps array; for irreps_out="1x1e" use
-        `irreps_to_vector` to get (x, y, z) displacements."""
+        `irreps_to_vector` to get (x, y, z) displacements.
+
+        `training`: the call will be differentiated — choose kernels whose
+        BACKWARD is efficient. Static per trace, so bucketed training mixes
+        paths per batch shape (gen-3 kernels at N <= 128, XLA above)."""
         irreps_hidden = Irreps(self.irreps_hidden)
         irreps_sh = Irreps(self.irreps_sh)
         irreps_out = Irreps(self.irreps_out)
@@ -177,10 +188,18 @@ class E3Conv(nn.Module):
         )
 
         N_atoms = batch.pos.shape[1]
-        stack_on = self._stack_ok(batch, irreps_hidden, irreps_sh, irreps_out, c_noise)
+        # training dispatch: the gen-4 tiled kernel's backward is slower than
+        # XLA (see `tiled_kernel_training`), so differentiated calls at
+        # N > 128 take the XLA path wholesale
+        use_pallas = self.use_pallas and not (
+            training and N_atoms > 128 and not self.tiled_kernel_training
+        )
+        stack_on = use_pallas and self._stack_ok(
+            batch, irreps_hidden, irreps_sh, irreps_out, c_noise
+        )
         if (
             not stack_on  # the stack kernel builds edge features in-kernel
-            and self.use_pallas
+            and use_pallas
             and self.pallas_variant == "packed"
             and self.tensor_product == "uvu"
             and self.atom_axis is None
@@ -257,7 +276,9 @@ class E3Conv(nn.Module):
         # layers -> head) stays in the kernel-native [C, N] layout — no
         # [C,N] <-> [N,C] transposes at layer boundaries (they were measured as
         # part of the walk step's fixed overhead, BENCH_NOTES round 2)
-        chained = self._chained_ok(batch, irreps_node, irreps_hidden, irreps_sh, irreps_out)
+        chained = use_pallas and self._chained_ok(
+            batch, irreps_node, irreps_hidden, irreps_sh, irreps_out
+        )
 
         node_attr = NoiseConditionalScaling(irreps_node)(node_attr, c_noise)
 
@@ -282,7 +303,7 @@ class E3Conv(nn.Module):
             dtype=self.dtype,
             # the initial projector's irreps_in is the (0e-only) embedding:
             # the lane-packed kernel (and the SoA fast path) handle V = 0
-            use_pallas=self.use_pallas,
+            use_pallas=use_pallas,
             pallas_variant=self.pallas_variant,
             atom_axis=self.atom_axis,
         )(node_attr, edges, transposed_out=chained)
@@ -293,7 +314,7 @@ class E3Conv(nn.Module):
             edge_attr_dim=self.edge_attr_dim,
             tensor_product=self.tensor_product,
             dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=use_pallas,
             pallas_variant=self.pallas_variant,
             atom_axis=self.atom_axis,
             transposed=chained,

@@ -36,6 +36,8 @@ def main():
                     "round number (pair work is O(N^2): 2AA 19 vs 24, "
                     "4AA 44 vs 48)")
     ap.add_argument("--size", choices=SIZES, default=None)
+    ap.add_argument("--chains", type=int, default=None,
+                    help="override the size's default chain count G")
     args = ap.parse_args()
 
     from jamun_tpu.utils.jax_setup import setup_jax
@@ -52,6 +54,8 @@ def main():
             continue
         if args.exact_n:
             N = NA
+        if args.chains:
+            G = args.chains
         batch = make_test_batch(
             num_graphs=G, max_nodes=N, nodes_per_graph=[NA] * G, max_bonds=2 * N,
             scale=0.3 + 0.15 * (N > 48),

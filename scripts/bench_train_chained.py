@@ -51,6 +51,10 @@ def main():
             tensor_product="uvu",
             dtype=jnp.bfloat16,
             use_pallas=(path == "kernel"),
+            # benchmarking escape hatch: "kernel" means the kernel path even
+            # at N > 128, where the production training dispatch prefers XLA
+            # (gen-4 bwd measured 2.2x slower, BENCH_NOTES round 3e)
+            tiled_kernel_training=(path == "kernel"),
         )
         den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.3))
         state = create_train_state(den, optimizer, batch, seed=0)

@@ -153,3 +153,56 @@ def test_mirror_augmentation():
     batch = make_test_batch(num_graphs=1, max_nodes=6)
     y = den.add_noise(jax.random.PRNGKey(3), batch, 0.0)  # sigma 0: pure mirror
     np.testing.assert_allclose(np.asarray(y.pos), -np.asarray(batch.pos), atol=1e-6)
+
+
+def test_training_dispatch_prefers_xla_above_n128():
+    """At N > 128 the gen-4 tiled kernel's BACKWARD is slower than XLA
+    (BENCH_NOTES round 3e), so differentiated calls (training=True, as
+    passed by Denoiser.training_loss) must take the XLA path while
+    forward-only calls (score/xhat) keep the tiled kernel."""
+    arch = E3Conv(
+        irreps_hidden="32x0e + 16x1e",
+        n_layers=2,
+        tensor_product="uvu",
+        use_pallas=True,
+    )
+    den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.3))
+    batch = make_test_batch(num_graphs=1, max_nodes=160, nodes_per_graph=[150])
+    params = den.init(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(1)
+
+    grad_jaxpr = str(
+        jax.make_jaxpr(lambda p: den.training_loss(p, key, batch, 0.04)[0])(params)
+    )
+    assert "pallas_call" not in grad_jaxpr
+
+    score_jaxpr = str(jax.make_jaxpr(lambda p: den.score(p, batch, 0.04))(params))
+    assert "pallas_call" in score_jaxpr
+
+    # the escape hatch restores the kernel path for benchmarking
+    arch_forced = arch.clone(tiled_kernel_training=True)
+    den_f = Denoiser(arch_forced, DenoiserConfig(max_radius=1.0, average_squared_distance=0.3))
+    forced_jaxpr = str(
+        jax.make_jaxpr(lambda p: den_f.training_loss(p, key, batch, 0.04)[0])(params)
+    )
+    assert "pallas_call" in forced_jaxpr
+
+
+def test_training_dispatch_keeps_kernels_at_small_n(tiny_model):
+    """training=True must NOT disable the gen-3 kernels at N <= 128 — the
+    dispatch is per-bucket."""
+    arch = E3Conv(
+        irreps_hidden="32x0e + 16x1e",
+        n_layers=2,
+        tensor_product="uvu",
+        use_pallas=True,
+    )
+    den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.3))
+    batch = make_test_batch(num_graphs=1, max_nodes=48, nodes_per_graph=[44])
+    params = den.init(jax.random.PRNGKey(0), batch)
+    grad_jaxpr = str(
+        jax.make_jaxpr(
+            lambda p: den.training_loss(p, jax.random.PRNGKey(1), batch, 0.04)[0]
+        )(params)
+    )
+    assert "pallas_call" in grad_jaxpr
