@@ -194,8 +194,13 @@ class E3Conv(nn.Module):
         use_pallas = self.use_pallas and not (
             training and N_atoms > 128 and not self.tiled_kernel_training
         )
-        stack_on = use_pallas and self._stack_ok(
-            batch, irreps_hidden, irreps_sh, irreps_out, c_noise
+        # the whole-model stack kernel is forward-only (no custom VJP):
+        # differentiated calls must fall back to the per-layer path, which
+        # has a backward kernel / XLA autodiff
+        stack_on = (
+            use_pallas
+            and not training
+            and self._stack_ok(batch, irreps_hidden, irreps_sh, irreps_out, c_noise)
         )
         if (
             not stack_on  # the stack kernel builds edge features in-kernel

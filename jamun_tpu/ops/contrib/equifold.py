@@ -288,7 +288,6 @@ class Equiformer(nn.Module):
         nc_s_out = self.nc_s_out if self.nc_s_out is not None else S
         nc_v_out = self.nc_v_out if self.nc_v_out is not None else S
         prec = matmul_precision(s.dtype)
-        maskf = pair_mask.astype(s.dtype)
         # masked pairs may carry non-finite geometry (e.g. rvec = d/||d|| on
         # the self-pair diagonal with no epsilon); zero it here so the
         # multiply-by-mask reductions below cannot be poisoned (NaN * 0 = NaN)
@@ -398,7 +397,6 @@ class Equiformer(nn.Module):
         if self.apply_resnet:
             s = s0 + s if s is not None else None
             v = v0 + v
-        del maskf
         return s, v
 
 

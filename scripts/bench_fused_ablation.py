@@ -25,6 +25,8 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from jamun_tpu.utils.timing import timed_chain
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -378,14 +380,20 @@ def main():
                 return o[:, 0:Fp, 0:N].astype(cdt)
             return jax.lax.fori_loop(0, args.steps, body, nf)
 
+        # tunnel-proof sync via scalar value fetch (utils/timing.py)
+        def run():
+            return float(jnp.sum(chain(nf, ef_in).astype(jnp.float32)))
+
         t0 = time.time()
-        out = chain(nf, ef_in)
-        out.block_until_ready()
+        run()
         c = time.time() - t0
-        t0 = time.time()
+        el = timed_chain(run, args.steps)
+        if el is None:
+            print(f"{mode:>10}: TIMING FAILED (tunnel early-ack artifact)",
+                  flush=True)
+            continue
+        dt = el / args.steps * 1e3
         out = chain(nf, ef_in)
-        out.block_until_ready()
-        dt = (time.time() - t0) / args.steps * 1e3
         print(f"{mode:>10}: {dt:7.3f} ms/call  (compile {c:.1f}s)  "
               f"finite={bool(jnp.isfinite(out.astype(jnp.float32)).all())}", flush=True)
 

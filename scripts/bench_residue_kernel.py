@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jamun_tpu.utils.timing import timed_chain
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -81,15 +83,21 @@ def main():
 
                 return jax.lax.fori_loop(0, args.steps, body, x0)
 
+            # tunnel-proof sync via scalar value fetch (utils/timing.py)
+            def run():
+                return float(jnp.sum(chain(x).astype(jnp.float32)))
+
             t0 = time.time()
-            out = chain(x)
-            out.block_until_ready()
+            run()
             comp = time.time() - t0
-            t0 = time.time()
-            out = chain(x)
-            out.block_until_ready()
-            dt = (time.time() - t0) / args.steps * 1e3
+            el = timed_chain(run, args.steps)
             label = "kernel" if use_pallas else "xla   "
+            if el is None:
+                print(f"R={R_real:>3} pad={R_pad:>3} {label}: TIMING FAILED "
+                      f"(tunnel early-ack artifact)", flush=True)
+                continue
+            dt = el / args.steps * 1e3
+            out = chain(x)
             print(
                 f"R={R_real:>3} pad={R_pad:>3} {label}: {dt:7.3f} ms/call "
                 f"(G={args.G}, compile {comp:.1f}s) "

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jamun_tpu.utils.timing import timed_chain
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -87,14 +89,20 @@ def main():
         def chain(x):
             return jax.lax.fori_loop(0, args.steps, lambda i, x: step_fn(x).astype(cdt), x)
 
+        # tunnel-proof sync: a scalar VALUE fetch cannot ack early the way
+        # block_until_ready does right after cold compiles (utils/timing.py)
+        def run():
+            return float(jnp.sum(chain(x0).astype(jnp.float32)))
+
         t0 = time.time()
-        out = chain(x0)
-        out.block_until_ready()
+        run()
         compile_s = time.time() - t0
-        t0 = time.time()
+        el = timed_chain(run, args.steps)
+        if el is None:
+            print(f"{name:>28}: TIMING FAILED (tunnel early-ack artifact)")
+            return float("nan")
+        dt = el / args.steps * 1e3
         out = chain(x0)
-        out.block_until_ready()
-        dt = (time.time() - t0) / args.steps * 1e3
         print(f"{name:>28}: {dt:7.3f} ms/call  (compile {compile_s:.1f}s)  "
               f"finite={bool(jnp.isfinite(out.astype(jnp.float32)).all())}")
         return dt

@@ -206,3 +206,38 @@ def test_training_dispatch_keeps_kernels_at_small_n(tiny_model):
         )(params)
     )
     assert "pallas_call" in grad_jaxpr
+
+
+def test_training_dispatch_bypasses_fused_stack():
+    """The whole-model stack kernel is forward-only (no custom VJP), so a
+    differentiated call with fused_stack=True must fall back to the per-layer
+    path instead of raising 'differentiation rule for pallas_call not
+    implemented' (self-review r3)."""
+    arch = E3Conv(
+        irreps_hidden="32x0e + 16x1e",
+        n_layers=2,
+        tensor_product="uvu",
+        use_pallas=True,
+        fused_stack=True,
+        scan_layers=False,
+    )
+    den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.3))
+    batch = make_test_batch(num_graphs=1, max_nodes=48, nodes_per_graph=[44])
+    params = den.init(jax.random.PRNGKey(0), batch)
+    # sampling keeps the whole-model stack kernel: exactly ONE pallas_call
+    score_jaxpr = str(jax.make_jaxpr(lambda p: den.score(p, batch, 0.04))(params))
+    assert score_jaxpr.count("pallas_call") == 1
+    # training routes through the per-layer path (edge features + per-layer
+    # kernels with a backward), never the forward-only stack
+    loss_jaxpr = str(
+        jax.make_jaxpr(
+            lambda p: den.training_loss(p, jax.random.PRNGKey(1), batch, 0.04)[0]
+        )(params)
+    )
+    assert loss_jaxpr.count("pallas_call") > 1
+    # the differentiated path must trace without a stack pallas_call VJP error
+    grads = jax.grad(
+        lambda p: den.training_loss(p, jax.random.PRNGKey(1), batch, 0.04)[0]
+    )(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
