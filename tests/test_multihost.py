@@ -84,6 +84,9 @@ def test_two_process_distributed_train_step(tmp_path):
 
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
+    # The workers run with cwd=tmp_path, so jamun_tpu must be importable via
+    # PYTHONPATH rather than relying on an editable install being present.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = []
     for pid in range(2):
         env = dict(
@@ -91,6 +94,9 @@ def test_two_process_distributed_train_step(tmp_path):
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
+            PYTHONPATH=os.pathsep.join(
+                p for p in (repo_root, os.environ.get("PYTHONPATH", "")) if p
+            ),
         )
         procs.append(
             subprocess.Popen(
