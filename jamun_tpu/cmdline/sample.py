@@ -45,6 +45,33 @@ def get_initial_graphs(datasets, num_init_samples: int, repeat: int, seed: int =
     return collate(items), graph_to_dataset
 
 
+def apply_arch_kernel_defaults(cfg, model_cfg, on_tpu: bool) -> None:
+    """Backend-aware kernel defaults for the sample CLI (mutates
+    model_cfg["arch"] in place).
+
+    Default the fused Pallas conv kernel (ops/pallas/packed_conv.py) ON for
+    TPU backends — numerically parity-tested against the XLA path
+    (checkpoints trained on either path are interchangeable) and trainable
+    via its backward kernel; unsupported shapes fall back automatically
+    inside Conv. Elsewhere Pallas would run in interpret mode, orders of
+    magnitude slower than the XLA fast path. Override with use_pallas=true/false.
+
+    The whole-model stack kernel (ops/pallas/e3_stack.py) is forward-only, so
+    it defaults ON only when nothing differentiates the score network: with
+    finetune_on_init active, gradients flow through this same denoiser and
+    the stack must stay OFF (the per-layer kernel's custom-VJP backward still
+    applies). Override with fused_stack=true/false.
+    """
+    arch_cfg = model_cfg.get("arch")
+    if not (isinstance(arch_cfg, dict) and "E3Conv" in str(arch_cfg.get("_target_", ""))):
+        return
+    arch_cfg["use_pallas"] = bool(cfg.get("use_pallas", on_tpu))
+    finetunes = (cfg.get("finetune_on_init") or {}).get("num_steps", 0) > 0
+    arch_cfg["fused_stack"] = bool(
+        cfg.get("fused_stack", arch_cfg["use_pallas"] and on_tpu and not finetunes)
+    )
+
+
 def run(cfg) -> None:
     import jax
 
@@ -87,27 +114,7 @@ def run(cfg) -> None:
             f"(no config.pkl next to {ckpt_path} and no model.average_squared_distance "
             "in the sampling config); pass average_squared_distance=<value> explicitly."
         )
-    # Default to the fused Pallas conv kernel (ops/pallas/packed_conv.py) —
-    # numerically parity-tested against the XLA path (checkpoints trained on
-    # either path are interchangeable) and trainable via its backward kernel;
-    # unsupported shapes fall back automatically inside Conv. Only default it
-    # ON for TPU backends: elsewhere Pallas would run in interpret mode,
-    # orders of magnitude slower than the XLA fast path. Override with
-    # use_pallas=true/false.
-    arch_cfg = model_cfg.get("arch")
-    if isinstance(arch_cfg, dict) and "E3Conv" in str(arch_cfg.get("_target_", "")):
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        arch_cfg["use_pallas"] = bool(cfg.get("use_pallas", on_tpu))
-        # Sampling never differentiates the score network, so the whole-model
-        # stack kernel (ops/pallas/e3_stack.py) is safe to default ON here;
-        # E3Conv._stack_ok falls back to the per-layer path for unsupported
-        # shapes (N > 64, scan_layers, multi-sigma). Not with finetune_on_init
-        # though: that takes gradients through this same denoiser, and the
-        # stack kernel is forward-only. Override with fused_stack=true/false.
-        finetunes = (cfg.get("finetune_on_init") or {}).get("num_steps", 0) > 0
-        arch_cfg["fused_stack"] = bool(
-            cfg.get("fused_stack", arch_cfg["use_pallas"] and on_tpu and not finetunes)
-        )
+    apply_arch_kernel_defaults(cfg, model_cfg, on_tpu=jax.default_backend() in ("tpu", "axon"))
 
     denoiser = build_denoiser(model_cfg, float(asd))
     optimizer = build_optimizer(model_cfg)

@@ -110,10 +110,13 @@ class SingleMeasurementSampler:
             )
 
         main = sub(C)
-        first_v_init = v_init if isinstance(v_init, str) else "gaussian"
-        fn_first = jax.jit(
-            lambda p, y, k: main.walk_jump(denoiser, p, init_graphs, k, y, first_v_init)
-        )
+        # String v_init ("gaussian"/"zero") is baked into the first chunk's
+        # trace; an array v_init is passed as a traced argument via fn_cont,
+        # so it is honored exactly like the unchunked walk's contract.
+        if isinstance(v_init, str):
+            fn_first = jax.jit(
+                lambda p, y, k: main.walk_jump(denoiser, p, init_graphs, k, y, v_init)
+            )
         fn_cont = jax.jit(
             lambda p, y, v, k: main.walk_jump(denoiser, p, init_graphs, k, y, v)
         )

@@ -29,7 +29,23 @@ from jamun_tpu.train.state import TrainState, create_train_state, make_eval_step
 
 log = logging.getLogger("jamun_tpu")
 
-__all__ = ["TrainerConfig", "Trainer"]
+__all__ = ["TrainerConfig", "Trainer", "denoiser_without_kernels"]
+
+_KERNEL_FLAGS = ("use_pallas", "fused_stack", "tiled_kernel_training")
+
+
+def denoiser_without_kernels(denoiser: Denoiser) -> Optional[Denoiser]:
+    """A copy of `denoiser` with every Pallas-kernel flag on its arch turned
+    off, or None if no kernel flag is enabled (nothing to fall back from).
+
+    Kernel flags do not change the parameter structure (the kernels are
+    alternative execution paths for the same math, parity-tested in
+    tests/test_pallas_conv.py), so the same TrainState runs on both."""
+    arch = denoiser.arch
+    updates = {k: False for k in _KERNEL_FLAGS if getattr(arch, k, False)}
+    if not updates:
+        return None
+    return Denoiser(arch.clone(**updates), denoiser.config)
 
 
 @dataclasses.dataclass
@@ -95,6 +111,34 @@ class Trainer:
         )
         eval_step = jax.jit(make_eval_step(denoiser, sigma_distribution))
 
+        def step_with_fallback(state, batch):
+            """Run one train step; if it fails while Pallas kernels are
+            enabled (e.g. a Mosaic compile failure — the N=112 backward
+            kernel runs within ~8 MB of the 128 MiB VMEM budget, see
+            BENCH_NOTES round 3e), degrade the whole run to the parity-tested
+            XLA path with a warning instead of aborting the training run.
+            Compiles happen per shape bucket, so this can trigger at any
+            step, not just the first."""
+            nonlocal train_step, eval_step, denoiser
+            try:
+                return train_step(state, batch)
+            except Exception as e:  # noqa: BLE001 — fallback re-raises below
+                fallback = denoiser_without_kernels(denoiser)
+                if fallback is None:
+                    raise
+                log.warning(
+                    "train step failed with Pallas kernels enabled (%s: %s); "
+                    "retrying this batch on the XLA path with kernels disabled",
+                    type(e).__name__, e,
+                )
+                denoiser = fallback
+                self._denoiser = fallback
+                train_step = jax.jit(
+                    make_train_step(fallback, optimizer, sigma_distribution, cfg.ema_decay)
+                )
+                eval_step = jax.jit(make_eval_step(fallback, sigma_distribution))
+                return train_step(state, batch)
+
         step = int(state.step)
         samples_seen = 0
         t_start = time.perf_counter()
@@ -104,7 +148,7 @@ class Trainer:
                 break
             for batch in datamodule.train_batches(epoch):
                 batch = shard_batch(batch, mesh)
-                state, aux = train_step(state, batch)
+                state, aux = step_with_fallback(state, batch)
                 step += 1
                 samples_seen += batch.num_graphs
                 if step % cfg.log_every_n_steps == 0:

@@ -84,8 +84,9 @@ def test_two_process_distributed_train_step(tmp_path):
 
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
-    # The workers run with cwd=tmp_path, so jamun_tpu must be importable via
-    # PYTHONPATH rather than relying on an editable install being present.
+    # The worker script lives in tmp_path, so Python auto-adds only tmp_path
+    # (the script's directory) to sys.path; add the repo root via PYTHONPATH
+    # so jamun_tpu is importable without an editable install.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = []
     for pid in range(2):
