@@ -15,6 +15,7 @@ import functools
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from jamun_tpu.models.embeddings import AtomEmbeddingWithResidueInformation, SimpleAtomEmbedding
@@ -26,7 +27,21 @@ from jamun_tpu.ops.mlp import EquivariantMLP
 from jamun_tpu.ops.radial import soft_one_hot_linspace
 from jamun_tpu.ops.sh import spherical_harmonics
 
-__all__ = ["E3Conv", "vector_to_irreps", "irreps_to_vector"]
+__all__ = ["E3Conv", "vector_to_irreps", "irreps_to_vector", "neighbor_mode_auto"]
+
+# "auto" neighbor-mode thresholds (measured on v5e, BENCH_NOTES round 4):
+# below these atom counts the dense masked-adjacency path (and its Pallas
+# kernels) wins; above them the capped-neighbor sparse path wins. Training
+# flips earlier because the dense training path is plain XLA at N > 128
+# (the gen-4 tiled kernel's backward loses to XLA, see tiled_kernel_training)
+# while sampling keeps the tiled forward kernel.
+_NBR_AUTO_TRAIN_N = 256
+_NBR_AUTO_SAMPLE_N = 512
+
+
+def neighbor_mode_auto(n_atoms: int, training: bool) -> bool:
+    """True when "auto" neighbor mode resolves to the sparse path."""
+    return n_atoms >= (_NBR_AUTO_TRAIN_N if training else _NBR_AUTO_SAMPLE_N)
 
 _embed_init = nn.initializers.normal(stddev=1.0)
 
@@ -112,6 +127,17 @@ class E3Conv(nn.Module):
     # trips or kernel-boundary glue. Params are identical to the layer-by-
     # layer path (checkpoints interchange); not differentiable — training
     # configs must leave this off.
+    neighbor_mode: str = "auto"  # "dense" | "nbr" | "auto" — edge execution
+    # format. "dense": masked [N, N] adjacency (+ Pallas kernels; bit-exact
+    # reference parity path). "nbr": capped K-nearest neighbor lists
+    # (ops/neighbors.py) — O(N*K) message work, the large-molecule path
+    # (train_idrome regime; the reference's own radius_graph caps in-degree
+    # at 32, `torch_cluster` max_num_neighbors). "auto": dense below the
+    # measured crossover (`neighbor_mode_auto`), sparse above — existing
+    # peptide-scale recipes are unaffected.
+    neighbor_cap: int = 32  # K for the sparse path (matches the reference's
+    # radius_graph max_num_neighbors=32 default); dropped-edge counts are
+    # sown as "neighbor_overflow" intermediates
     tiled_kernel_training: bool = False  # allow the gen-4 tiled kernel in
     # differentiated (training=True) calls at N > 128. Off by default: its
     # backward measured 2.2x SLOWER than XLA at N=256 b8 (63.6 vs 29.3
@@ -161,23 +187,59 @@ class E3Conv(nn.Module):
             dst_index = jax.lax.axis_index(self.atom_axis) * n_loc + jnp.arange(n_loc)
             dst_index = jnp.broadcast_to(dst_index[None, :], batch.pos.shape[:2])
 
-        # dense edge features for the XLA paths (unused ones are DCE'd by XLA)
-        edges = dense_edge_data(
-            batch.pos,
-            batch.node_mask,
-            batch.bond_src,
-            batch.bond_dst,
-            batch.bond_mask,
-            radial_cutoff,
-            sh_fn=functools.partial(spherical_harmonics, irreps_sh),
-            attr_fn=attr_fn,
-            dense=True,
-            bond0_embed=bond_embed[0],
-            bond1_embed=bond_embed[1],
-            src_pos=src_pos,
-            src_mask=src_mask,
-            dst_index=dst_index,
+        # under shard_map the local shard holds N/n_dev dst rows; "auto" must
+        # see the FULL molecule size (axis_size is static)
+        N_atoms_total = batch.pos.shape[1] * (
+            1 if self.atom_axis is None else jax.lax.axis_size(self.atom_axis)
         )
+        if self.neighbor_mode not in ("dense", "nbr", "auto"):
+            raise ValueError(f"neighbor_mode={self.neighbor_mode!r}")
+        nbr_on = self.neighbor_mode == "nbr" or (
+            self.neighbor_mode == "auto" and neighbor_mode_auto(N_atoms_total, training)
+        )
+        if nbr_on:
+            # sparse capped-neighbor edges (ops/neighbors.py): only the
+            # [G, N, K] kept-edge features are materialized; every dense
+            # [N, N] path (incl. the Pallas kernels) is bypassed
+            from jamun_tpu.ops.neighbors import neighbor_edge_data
+
+            edges, nbr_overflow = neighbor_edge_data(
+                batch.pos,
+                batch.node_mask,
+                batch.bond_src,
+                batch.bond_dst,
+                batch.bond_mask,
+                radial_cutoff,
+                sh_fn=functools.partial(spherical_harmonics, irreps_sh),
+                attr_fn=attr_fn,
+                cap=self.neighbor_cap,
+                bond0_embed=bond_embed[0],
+                bond1_embed=bond_embed[1],
+                src_pos=src_pos,
+                src_mask=src_mask,
+                dst_index=dst_index,
+            )
+            # cap telemetry (edges dropped per graph); retrieve via
+            # `capture_intermediates`/mutable, reported by the bench harness
+            self.sow("intermediates", "neighbor_overflow", nbr_overflow)
+        else:
+            # dense edge features for the XLA paths (unused ones are DCE'd by XLA)
+            edges = dense_edge_data(
+                batch.pos,
+                batch.node_mask,
+                batch.bond_src,
+                batch.bond_dst,
+                batch.bond_mask,
+                radial_cutoff,
+                sh_fn=functools.partial(spherical_harmonics, irreps_sh),
+                attr_fn=attr_fn,
+                dense=True,
+                bond0_embed=bond_embed[0],
+                bond1_embed=bond_embed[1],
+                src_pos=src_pos,
+                src_mask=src_mask,
+                dst_index=dst_index,
+            )
         # gate the precompute on the same backend-aware shape bounds the conv
         # kernels enforce (S/V from the hidden layers, which consume it), so
         # it is never dead work when Conv would fall back to the XLA path
@@ -196,14 +258,18 @@ class E3Conv(nn.Module):
         )
         # the whole-model stack kernel is forward-only (no custom VJP):
         # differentiated calls must fall back to the per-layer path, which
-        # has a backward kernel / XLA autodiff
+        # has a backward kernel / XLA autodiff. All Pallas kernels (and their
+        # packed-edge precomputes) are dense-only: sparse neighbor mode
+        # bypasses them wholesale.
         stack_on = (
             use_pallas
             and not training
+            and not nbr_on
             and self._stack_ok(batch, irreps_hidden, irreps_sh, irreps_out, c_noise)
         )
         if (
             not stack_on  # the stack kernel builds edge features in-kernel
+            and not nbr_on
             and use_pallas
             and self.pallas_variant == "packed"
             and self.tensor_product == "uvu"
@@ -281,8 +347,10 @@ class E3Conv(nn.Module):
         # layers -> head) stays in the kernel-native [C, N] layout — no
         # [C,N] <-> [N,C] transposes at layer boundaries (they were measured as
         # part of the walk step's fixed overhead, BENCH_NOTES round 2)
-        chained = use_pallas and self._chained_ok(
-            batch, irreps_node, irreps_hidden, irreps_sh, irreps_out
+        chained = (
+            use_pallas
+            and not nbr_on
+            and self._chained_ok(batch, irreps_node, irreps_hidden, irreps_sh, irreps_out)
         )
 
         node_attr = NoiseConditionalScaling(irreps_node)(node_attr, c_noise)

@@ -122,6 +122,7 @@ class Conv(nn.Module):
             and self.atom_axis is None
             and self.tensor_product == "uvu"
             and not self.is_initializing()
+            and edges.nbr_idx is None  # sparse neighbor mode: kernels are dense
             and edges.pos is not None
             and edges.bond0_embed is not None
             and shapes_ok
@@ -163,7 +164,31 @@ class Conv(nn.Module):
         else:
             src_attr_full = node_attr
 
-        if self._pallas_supported(node_attr, edges):
+        if edges.nbr_idx is not None:
+            # --- sparse capped-neighbor path (ops/neighbors.py): O(N*K)
+            # message work; the right algorithm once the dense panel's fill
+            # factor collapses (large molecules, train_idrome regime) ---
+            w_nbr = self.radial_nn(edges.attr_nbr.astype(cdt))  # [G, N, K, wn]
+            if self._fast_uvu_supported():
+                from jamun_tpu.ops.fast_uvu import fast_uvu_messages_nbr
+
+                S, V = self._sv_shape()
+                out, deg = fast_uvu_messages_nbr(
+                    src_attr_full, edges.sh_nbr, w_nbr, edges.nbr_idx, edges.nbr_mask, S=S, V=V,
+                )
+            else:
+                from jamun_tpu.ops.neighbors import gather_neighbors
+
+                src_nbr = gather_neighbors(src_attr_full, edges.nbr_idx).astype(cdt)
+                msg = self.tp(src_nbr, edges.sh_nbr.astype(cdt), w_nbr)  # [G, N, K, out]
+                out = jnp.einsum(
+                    "gnkd,gnk->gnd", msg, edges.nbr_mask.astype(cdt),
+                    preferred_element_type=out_dtype,
+                )
+                deg = jnp.sum(edges.nbr_mask, axis=-1)
+            out = out.astype(out_dtype)
+            deg = deg.astype(jnp.float32)
+        elif self._pallas_supported(node_attr, edges):
             S, V = self._sv_shape()
             rp = self.radial_nn.variables["params"]
             n_radial = (self.edge_attr_dim + 1) // 2

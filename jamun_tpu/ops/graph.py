@@ -95,6 +95,13 @@ class EdgeData:
     ebd_packed: Optional[jnp.ndarray] = None  # [G, B, N]
     posm_packed: Optional[jnp.ndarray] = None  # [G, 8, N] position/mask rows
     # (gen-4 kernel: dense-pair geometry is rebuilt in-kernel from these)
+    # sparse capped neighbor lists (ops/neighbors.py) — the large-N execution
+    # path: when nbr_idx is set, Conv aggregates over the K kept neighbors
+    # instead of the dense [N, N] panel (dense fields above stay None)
+    nbr_idx: Optional[jnp.ndarray] = None  # [G, N, K] -> index into src atoms
+    nbr_mask: Optional[jnp.ndarray] = None  # [G, N, K] float
+    sh_nbr: Optional[jnp.ndarray] = None  # [G, N, K, sh_dim]
+    attr_nbr: Optional[jnp.ndarray] = None  # [G, N, K, A]
 
 
 def dense_edge_data(

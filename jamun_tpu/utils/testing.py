@@ -7,6 +7,27 @@ import numpy as np
 from jamun_tpu.ops.graph import GraphBatch
 
 
+def make_chain_positions(
+    num_graphs: int, n_atoms: int, seed: int = 0, bond: float = 0.152, persistence: float = 0.7
+) -> np.ndarray:
+    """Worm-like-chain conformations (nm): unit steps with direction momentum.
+
+    Unlike `make_test_batch`'s gaussian blob (whose adjacency fill stays high
+    at any N), a chain's radius of gyration grows ~ bond * N^0.5-0.6, so the
+    1 nm-cutoff fill factor collapses as N grows — the realistic large-molecule
+    regime (`configs/experiment/train_idrome.yaml`) the sparse neighbor path
+    exists for."""
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal((num_graphs, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos = np.zeros((num_graphs, n_atoms, 3), dtype=np.float32)
+    for i in range(1, n_atoms):
+        d = persistence * d + (1.0 - persistence) * rng.standard_normal((num_graphs, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        pos[:, i] = pos[:, i - 1] + bond * d
+    return pos - pos.mean(axis=1, keepdims=True)
+
+
 def make_test_batch(
     num_graphs: int = 2,
     max_nodes: int = 8,
