@@ -214,8 +214,15 @@ def main():
     float(checksum)  # scalar fetch: real completion sync (see headline note)
     ss_elapsed = time.perf_counter() - t0
     ss_ms = ss_elapsed * 1e3 / (NUM_CHAINS * total_frames)
+    # metric name says device_only: host drain is excluded unless --offload
+    # (through this tunnel device->host is ~100x a local TPU host, so the
+    # default number is the on-chip rate; the offload variant measures the
+    # chunked-drain path end to end)
     print(json.dumps({
-        "metric": "walkjump_steady_state_ms_per_sample_4AA_20k",
+        "metric": (
+            "walkjump_steady_state_ms_per_sample_4AA_20k_"
+            + ("with_offload" if offload else "device_only")
+        ),
         "value": round(ss_ms, 5),
         "unit": "ms/sample",
         "vs_baseline": round(BASELINE_MS_PER_SAMPLE / ss_ms, 2),

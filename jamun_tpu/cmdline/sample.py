@@ -174,7 +174,14 @@ def run(cfg) -> None:
         timing_cb,
     ]
 
-    sampler = Sampler(callbacks=callbacks)
+    # parallel.atom_sharded: large-molecule mode — atoms sharded over the
+    # mesh instead of chains (jamun_tpu/parallel/atom_sharded.py, SURVEY 5.7)
+    par = dict(cfg.get("parallel") or {})
+    sampler = Sampler(
+        callbacks=callbacks,
+        atom_sharded=par.get("atom_sharded") in (True, "true", "on"),
+        num_devices=par.get("num_devices"),
+    )
     log.info("devices: %s", jax.devices())
     # per-host seed offset (reference seeds cfg.seed + global_rank,
     # cmdline/sample.py:86-88)

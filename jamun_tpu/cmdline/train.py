@@ -52,6 +52,12 @@ def run(cfg) -> None:
     trainer_cfg = dict(cfg["trainer"])
     trainer_cfg.pop("_target_", None)
     trainer_cfg["ema_decay"] = cfg["model"].get("ema_decay", trainer_cfg.get("ema_decay", 0.999))
+    # parallel.{atom_sharded,atom_shard_threshold,num_devices}: atom-sharded
+    # (context-parallel) large-molecule mode / DP device count (SURVEY 5.7)
+    par = dict(cfg.get("parallel") or {})
+    for k in ("atom_sharded", "atom_shard_threshold", "num_devices"):
+        if par.get(k) is not None:
+            trainer_cfg[k] = par[k]
     tconf = TrainerConfig(**trainer_cfg)
 
     run_dir = os.path.join("runs", str(cfg.get("run_key", "run")))

@@ -18,7 +18,17 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["atom_sharded_pair_op", "shard_atoms", "atom_sharded_arch_apply", "prepare_atom_sharded_batch", "atom_sharded_forward"]
+__all__ = [
+    "atom_sharded_pair_op",
+    "shard_atoms",
+    "atom_sharded_arch_apply",
+    "prepare_atom_sharded_batch",
+    "atom_sharded_forward",
+    "pad_atoms_to_multiple",
+    "AtomShardedArch",
+    "denoiser_with_atom_sharding",
+    "resolve_atom_sharded",
+]
 
 
 def shard_atoms(arr: jnp.ndarray, mesh: Mesh, axis: int = 0):
@@ -119,7 +129,10 @@ def prepare_atom_sharded_batch(batch, mesh: Mesh):
     )
 
 
-def atom_sharded_forward(arch, mesh: Mesh, params, sharded, c_noise, cutoff, axis_name: str = "data"):
+def atom_sharded_forward(
+    arch, mesh: Mesh, params, sharded, c_noise, cutoff,
+    axis_name: str = "data", training: bool = False,
+):
     """The jittable part of `atom_sharded_arch_apply` (takes a batch already
     prepared by `prepare_atom_sharded_batch`)."""
     arch_s = arch.clone(atom_axis=axis_name, use_pallas=False)
@@ -134,7 +147,8 @@ def atom_sharded_forward(arch, mesh: Mesh, params, sharded, c_noise, cutoff, axi
     )
 
     def fwd(params, b):
-        return arch_s.apply(params, b, c_noise, cutoff)
+        kw = {"training": True} if training else {}
+        return arch_s.apply(params, b, c_noise, cutoff, **kw)
 
     return jax.shard_map(
         fwd,
@@ -143,3 +157,88 @@ def atom_sharded_forward(arch, mesh: Mesh, params, sharded, c_noise, cutoff, axi
         out_specs=atom3,
         check_vma=False,
     )(params, sharded)
+
+
+def pad_atoms_to_multiple(batch, multiple: int):
+    """Pad the ATOM axis of every [G, N, ...] field with masked rows so N is a
+    device-count multiple (shard_map needs even shards). Bond lists index the
+    original rows, so they are unaffected; residue-level gather maps would
+    need re-padding and are dropped (`prepare_atom_sharded_batch` drops them
+    anyway — atom-sharded mode is for flat-atom archs like E3Conv)."""
+    N = batch.pos.shape[1]
+    pad = (-N) % multiple
+    if pad == 0:
+        return batch
+
+    def pad_atom_axis(x):
+        if not hasattr(x, "shape") or x.ndim < 2 or x.shape[1] != N:
+            return x
+        return jnp.concatenate(
+            [jnp.asarray(x), jnp.zeros((x.shape[0], pad) + x.shape[2:], x.dtype)], axis=1
+        )
+
+    return batch.replace(
+        pos=pad_atom_axis(batch.pos),
+        node_mask=pad_atom_axis(batch.node_mask),
+        atom_type_index=pad_atom_axis(batch.atom_type_index),
+        atom_code_index=pad_atom_axis(batch.atom_code_index),
+        residue_code_index=pad_atom_axis(batch.residue_code_index),
+        residue_sequence_index=pad_atom_axis(batch.residue_sequence_index),
+        residue_atom_index=None, residue_atom_mask=None, residue_ca_index=None,
+        residue_mask=None, residue_codes=None,
+    )
+
+
+class AtomShardedArch:
+    """Duck-types a flax arch for `Denoiser`: `.apply` routes through the
+    shard_map'd atom-sharded forward (per-layer feature halos over ICI), so
+    the WHOLE product stack — Denoiser preconditioning, the jitted train step
+    (gradients flow through shard_map; all_gather transposes to
+    reduce_scatter), the Langevin walk — runs unchanged on molecules whose
+    [N, N] pair work exceeds one chip (SURVEY §5.7; reference-side role:
+    Lightning device placement, `scripts/slurm/train.sh:31-37`).
+
+    Batches must be prepared with `pad_atoms_to_multiple` +
+    `prepare_atom_sharded_batch` (host-side, once per batch) before entering
+    the jitted step. `init` runs on the RAW (unprepared) batch — parameter
+    shapes do not depend on the batch layout."""
+
+    def __init__(self, arch, mesh: Mesh, axis_name: str = "data"):
+        self.arch = arch
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    # signature marker only: Denoiser inspects __call__ for the `training`
+    # kernel-dispatch flag (models/denoiser.py) — apply() is the real entry
+    def __call__(self, batch, c_noise, radial_cutoff, training: bool = False):
+        raise NotImplementedError("use .apply(params, ...)")
+
+    def init(self, key, batch, c_noise, cutoff):
+        return self.arch.init(key, batch, c_noise, cutoff)
+
+    def apply(self, params, batch, c_noise, cutoff, training: bool = False):
+        return atom_sharded_forward(
+            self.arch, self.mesh, params, batch, c_noise, cutoff,
+            self.axis_name, training=training,
+        )
+
+
+def denoiser_with_atom_sharding(denoiser, mesh: Mesh, axis_name: str = "data"):
+    """A copy of `denoiser` whose arch forward is atom-sharded over `mesh`."""
+    from jamun_tpu.models.denoiser import Denoiser
+
+    return Denoiser(AtomShardedArch(denoiser.arch, mesh, axis_name), denoiser.config)
+
+
+def resolve_atom_sharded(mode, n_atoms: int, threshold: int, n_devices: int) -> bool:
+    """Resolve the `parallel.atom_sharded` config knob: False | True | "auto"
+    (engage when the padded molecule size reaches `threshold` atoms — the
+    point where a single chip's dense/sparse pair work is better split over
+    the mesh than replicated per chain)."""
+    if n_devices <= 1 or mode in (False, None, "false", "off"):
+        return False
+    if mode in (True, "true", "on"):
+        return True
+    if mode == "auto":
+        return n_atoms >= threshold
+    raise ValueError(f"parallel.atom_sharded={mode!r} (want true/false/auto)")

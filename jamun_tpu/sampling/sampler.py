@@ -63,6 +63,10 @@ class Sampler:
     donate_state: bool = True
     num_devices: Optional[int] = None
     mesh: Any = None
+    atom_sharded: bool = False  # shard each molecule's ATOM axis over the
+    # mesh (jamun_tpu/parallel/atom_sharded.py) instead of sharding chains —
+    # the large-molecule mode: every chain's walk runs the arch forward with
+    # per-layer feature halos over ICI (SURVEY 5.7)
 
     def _call(self, hook: str, **kwargs):
         for cb in self.callbacks:
@@ -83,7 +87,20 @@ class Sampler:
         sigma = batch_sampler.sigma
         key = jax.random.PRNGKey(seed)
 
-        if self.mesh is not None or (self.num_devices or 1) > 1:
+        if self.atom_sharded:
+            from jamun_tpu.parallel.atom_sharded import (
+                denoiser_with_atom_sharding,
+                pad_atoms_to_multiple,
+                prepare_atom_sharded_batch,
+            )
+            from jamun_tpu.parallel.mesh import make_mesh
+
+            mesh = self.mesh or make_mesh(self.num_devices)
+            denoiser = denoiser_with_atom_sharding(denoiser, mesh)
+            init_graphs = prepare_atom_sharded_batch(
+                pad_atoms_to_multiple(init_graphs, mesh.devices.size), mesh
+            )
+        elif self.mesh is not None or (self.num_devices or 1) > 1:
             from jamun_tpu.parallel.mesh import make_mesh, pad_batch_to_multiple, shard_batch
 
             mesh = self.mesh or make_mesh(self.num_devices)

@@ -60,6 +60,12 @@ class TrainerConfig:
     ema_decay: float = 0.999
     check_finite: bool = True  # abort on non-finite val loss
     num_devices: Optional[int] = None  # data-parallel devices (None: all)
+    atom_sharded: object = "auto"  # false | true | "auto": shard the ATOM axis
+    # of each molecule over the mesh instead of data-parallel graph sharding
+    # (jamun_tpu/parallel/atom_sharded.py, SURVEY 5.7). "auto" engages when the
+    # padded molecule reaches atom_shard_threshold atoms — the train_idrome
+    # regime where one chip's pair work is better split than replicated.
+    atom_shard_threshold: int = 1024
     seed: int = 0
     collect_sigma_diagnostics: bool = True  # sigma-vs-loss/grad-norm CSV+plots
     visualize_denoise_sigmas: tuple = ()  # e.g. (0.02, 0.04, 0.08): per-sigma val RMSD
@@ -97,6 +103,32 @@ class Trainer:
             )
 
         example = next(iter(datamodule.train_batches(0)))
+
+        from jamun_tpu.parallel.atom_sharded import (
+            denoiser_with_atom_sharding,
+            pad_atoms_to_multiple,
+            prepare_atom_sharded_batch,
+            resolve_atom_sharded,
+        )
+
+        if resolve_atom_sharded(
+            cfg.atom_sharded, example.max_nodes, cfg.atom_shard_threshold, n_dev
+        ):
+            # atom-sharded (context-parallel) mode: each molecule's atom axis
+            # is split over the mesh; graphs stay replicated (no DP)
+            log.info(
+                "atom-sharded mode: N=%d atoms split over %d devices",
+                example.max_nodes, n_dev,
+            )
+            denoiser = denoiser_with_atom_sharding(denoiser, mesh)
+
+            def prep_batch(b):
+                return prepare_atom_sharded_batch(pad_atoms_to_multiple(b, n_dev), mesh)
+        else:
+            def prep_batch(b):
+                return shard_batch(b, mesh)
+
+        self._prep_batch = prep_batch
         state = create_train_state(denoiser, optimizer, example, seed=cfg.seed)
         if resume_from:
             state = restore_checkpoint(resume_from, state)
@@ -147,7 +179,7 @@ class Trainer:
             if stop:
                 break
             for batch in datamodule.train_batches(epoch):
-                batch = shard_batch(batch, mesh)
+                batch = prep_batch(batch)
                 state, aux = step_with_fallback(state, batch)
                 step += 1
                 samples_seen += batch.num_graphs
@@ -184,10 +216,11 @@ class Trainer:
             if i >= cfg.val_max_batches:
                 break
             key, sub = jax.random.split(key)
-            # validation batches ride the same mesh sharding as train batches;
-            # host-placed batches against mesh-replicated state would migrate
-            # (or fail) on a real multi-chip mesh
-            batch = shard_batch(batch, mesh)
+            # validation batches ride the same prep as train batches (mesh
+            # sharding, or atom-sharded bond repartition); host-placed batches
+            # against mesh-replicated state would migrate (or fail) on a real
+            # multi-chip mesh
+            batch = self._prep_batch(batch)
             aux = jax.device_get(eval_step(state, batch, sub))
             for k, v in aux.items():
                 totals[k] = totals.get(k, 0.0) + float(v)

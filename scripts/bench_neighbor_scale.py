@@ -51,14 +51,19 @@ def make_batch(G, N, seed=0):
 def fill_and_overflow(batch, cutoff, cap):
     from jamun_tpu.ops.neighbors import capped_neighbor_lists
 
-    pos, mask = jnp.asarray(batch.pos), jnp.asarray(batch.node_mask)
-    d = jnp.linalg.norm(pos[:, None, :, :] - pos[:, :, None, :] + 1e-12, axis=-1)
-    eye = jnp.eye(pos.shape[1], dtype=bool)[None]
-    adj = (d < cutoff) & mask[:, :, None] & mask[:, None, :] & ~eye
-    n_edges = float(jnp.sum(adj))
-    fill = n_edges / float(adj.size)
-    _, _, overflow = capped_neighbor_lists(pos, mask, cutoff, cap)
-    return fill, float(jnp.sum(overflow)) / max(n_edges, 1.0)
+    # one jitted program: eager per-op dispatch through the tunnel costs a
+    # compile RPC per op per shape (minutes of apparent hang)
+    @jax.jit
+    def stats(pos, mask):
+        d = jnp.linalg.norm(pos[:, None, :, :] - pos[:, :, None, :] + 1e-12, axis=-1)
+        eye = jnp.eye(pos.shape[1], dtype=bool)[None]
+        adj = (d < cutoff) & mask[:, :, None] & mask[:, None, :] & ~eye
+        _, _, overflow = capped_neighbor_lists(pos, mask, cutoff, cap)
+        return jnp.sum(adj), jnp.sum(overflow)
+
+    n_edges, overflow = stats(jnp.asarray(batch.pos), jnp.asarray(batch.node_mask))
+    n_pairs = batch.pos.shape[0] * batch.pos.shape[1] ** 2
+    return float(n_edges) / n_pairs, float(overflow) / max(float(n_edges), 1.0)
 
 
 def arch_for(path, cap):
