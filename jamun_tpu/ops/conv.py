@@ -478,7 +478,10 @@ class ConvBlock(nn.Module):
                     interpret=interpret,
                     compute_dtype=self.dtype,
                 )
-            fn = pk.make_trainable_conv_block(*mk_kwargs, **tkw)
+            fn = pk.make_trainable_conv_block(
+                *mk_kwargs, **tkw,
+                use_residuals=pk.bwd_residuals_enabled(n_atoms),
+            )
             out = fn(node_attr.astype(cdt), ef, bf, ebsT, ebd, *weights)
         else:
             if edges.posm_packed is not None:

@@ -93,6 +93,14 @@ _TILE = 16  # sublane tile (bf16); f32's 8 divides it
 # it mid-process.
 _SKIP_BONDS_FOR_MEASUREMENT = False
 
+# Measurement-only switch (scripts/bench_train_chained.py --fake-bwd-recompute):
+# replace the backward kernel's in-kernel forward recompute with constant
+# tensors so Mosaic dead-code-eliminates the recompute — measures the ceiling
+# of the residual-forward optimization (what the bwd kernel would cost if the
+# forward's intermediates were free). WRONG GRADIENTS — same module-global
+# contract as _SKIP_BONDS_FOR_MEASUREMENT above.
+_TIMING_FAKE_BWD_RECOMPUTE = False
+
 
 _K_ENV_SEEN: dict = {}
 
@@ -121,6 +129,37 @@ def _default_k() -> int:
     Mosaic code size grow with it. 8 measured best at round-2 shapes;
     JAMUN_KGRAPHS overrides for tuning sweeps (process-start only)."""
     return _env_k("JAMUN_KGRAPHS", 8)
+
+
+_RESID_ENV_SEEN: list = []
+
+
+def bwd_residuals_enabled(n_atoms: int) -> bool:
+    """Residual-forward training-mode policy (JAMUN_BWD_RESID = auto|1|0,
+    process-constant like the K env vars): the differentiated forward saves
+    (h32, aggsum) residuals and the backward kernel skips its in-kernel
+    forward recompute. auto (default) engages at N <= 64 — the 2AA/4AA
+    training recipes, where the recompute dominates the backward and the
+    [64, N^2] residual streams fit VMEM at the default K. At N = 112 the
+    recompute-mode backward already peaks at ~119MB of its 127MB scoped VMEM
+    (BENCH_NOTES round 3e), so residual streams cannot fit there."""
+    import os
+
+    v = os.environ.get("JAMUN_BWD_RESID", "auto").lower()
+    if _RESID_ENV_SEEN and _RESID_ENV_SEEN[0] != v:
+        raise RuntimeError(
+            f"JAMUN_BWD_RESID changed mid-process ({_RESID_ENV_SEEN[0]} -> {v}); "
+            "set it before the first kernel call."
+        )
+    if not _RESID_ENV_SEEN:
+        _RESID_ENV_SEEN.append(v)
+    if v in ("1", "true", "on"):
+        return True
+    if v in ("0", "false", "off"):
+        return False
+    if v != "auto":
+        raise ValueError(f"JAMUN_BWD_RESID={v!r} (want auto/1/0)")
+    return n_atoms <= 64
 
 
 def _default_k_bwd() -> int:
@@ -470,6 +509,19 @@ def packed_uvu_conv_dense(
 EF_GEOM = 16  # feature-buffer rows 0..3: shy, shz, shx, adjacency/mask
 
 
+def _agg_row_sizes(S: int, V: int, Vg: int) -> list:
+    """Row sizes of the `aggsum` residual blocks (residual-forward training
+    mode), matching the message order of `_conv_block_body.stream`: m1, the
+    three o2 blocks (folded to Vg rows when the o2-fold is active, i.e.
+    Vg > 0), then with V > 0 the three o3, one o4 and three o5 blocks. The
+    saved array appends one degree row after these."""
+    Sp, Vp, Vgp = _pad16(S), _pad16(V), _pad16(Vg)
+    rows = [Sp] + ([Vgp] * 3 if Vg > 0 else [Sp] * 3)
+    if V > 0:
+        rows += [Vp] * 7
+    return rows
+
+
 def _ef_rows(n_radial: int) -> int:
     return EF_GEOM + _pad16(n_radial)
 
@@ -734,9 +786,16 @@ def _layer_kernel(
     V1: int,
     fuse_block: bool = False,
     gate_shape=None,  # (Sc, Gt, Vg) when fuse_block
+    save_residuals: bool = False,  # fuse_block only: also write the
+    # residual-forward intermediates (h32_d, h32_b, aggsum) per graph
 ):
+    rh32d_ref = rh32b_ref = ragg_ref = None
     if fuse_block:
-        lin20_ref, lin21_ref, sk0_ref, sk1_ref, out_ref = rest
+        if save_residuals:
+            (lin20_ref, lin21_ref, sk0_ref, sk1_ref, out_ref,
+             rh32d_ref, rh32b_ref, ragg_ref) = rest
+        else:
+            lin20_ref, lin21_ref, sk0_ref, sk1_ref, out_ref = rest
         Sc, Gt, Vg = gate_shape
         Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
     else:
@@ -764,7 +823,13 @@ def _layer_kernel(
             sk1_ref[...] if fuse_block else None,
             N=N, B=B, S=S, V=V, n_radial=n_radial, C0=C0, V1=V1,
             fuse_block=fuse_block, gate_shape=gate_shape, ei=ei,
+            save_residuals=save_residuals,
         )
+        if save_residuals:
+            out, (h32_d, h32_b, aggsum) = out
+            rh32d_ref[k] = h32_d
+            rh32b_ref[k] = h32_b
+            ragg_ref[k] = aggsum
         out_ref[k] = out
 
 
@@ -817,13 +882,19 @@ def _conv_block_body(
     w1, b1d, b1b, w2, b2, pl0, pl1,
     lin20, lin21, sk0, sk1,
     *, N, B, S, V, n_radial, C0, V1, fuse_block, gate_shape, ei,
+    save_residuals=False,
 ):
     """One graph's COMPLETE fused conv layer (or whole ConvBlock when
     `fuse_block`) on plain jnp values in the transposed [C, *] layout —
     the shared body of the per-layer kernel (`_layer_kernel`) and the
     whole-model stack kernel (`_stack_kernel`).
 
-    Returns [C0p + 3*V1p, N] f32 (or [Scp + 3*Vgp, N] with fuse_block)."""
+    Returns [C0p + 3*V1p, N] f32 (or [Scp + 3*Vgp, N] with fuse_block).
+    With `save_residuals` (fuse_block only) returns
+    (out, (h32_d [64, P] f32, h32_b [64, B] f32, aggsum [C_agg+1, N] f32))
+    — the intermediates the residual-mode backward kernel streams in instead
+    of recomputing the forward (`_agg_row_sizes` fixes the aggsum layout)."""
+    assert not save_residuals or fuse_block
     f32 = jnp.float32
     cdt = nf.dtype
     P = N * N
@@ -920,24 +991,40 @@ def _conv_block_body(
             ]
         msgs.append(adj)  # degree row
         outs = _bundled_agg(msgs, agg_rhs, prec)
-        return outs[:-1], outs[-1]
+        return outs[:-1], outs[-1], h32
 
-    blocks_d, deg_d = stream(ef, ei, None, b1d, P, reps=N)
+    blocks_d, deg_d, h32_d = stream(ef, ei, None, b1d, P, reps=N)
+    resid = None
     if _SKIP_BONDS_FOR_MEASUREMENT:
         # WRONG NUMERICS, timing only (scripts/bench_bonds_share.py): the
         # backward kernel still includes bonds, so this must never be on in
         # a process that trains or samples. A module global (set explicitly
         # in-process, never read from the environment) so a leaked env var
         # cannot silently corrupt results.
+        assert not save_residuals
         inv_deg = 1.0 / jnp.maximum(deg_d, 1.0)
         norm = [(bd * inv_deg).astype(cdt) for bd in blocks_d]
     else:
-        blocks_b, deg_b = stream(bf, ebd.astype(cdt), ebsT.astype(cdt), b1b, B)
+        blocks_b, deg_b, h32_b = stream(bf, ebd.astype(cdt), ebsT.astype(cdt), b1b, B)
 
         inv_deg = 1.0 / jnp.maximum(deg_d + deg_b, 1.0)  # [1, N]
         norm = [
             ((bd + bb) * inv_deg).astype(cdt) for bd, bb in zip(blocks_d, blocks_b)
         ]
+        if save_residuals:
+            # residual-forward (training): save the radial pre-activations
+            # and the summed PRE-normalization aggregates + degree row so the
+            # backward kernel skips the whole per-pair forward recompute
+            # (norm is rebuilt bit-identically as aggsum * 1/max(deg, 1))
+            resid = (
+                h32_d,
+                h32_b,
+                jnp.concatenate(
+                    [bd + bb for bd, bb in zip(blocks_d, blocks_b)]
+                    + [deg_d + deg_b],
+                    axis=0,
+                ),
+            )
     if V > 0:
         o1n, o2y, o2z, o2x, o3y, o3z, o3x, o4n, o5y, o5z, o5x = norm
         in0 = jnp.concatenate([o1n, o4n], axis=0)  # [Sp + Vp, N]
@@ -1001,7 +1088,8 @@ def _conv_block_body(
                 precision=prec,
             )
         parts.append(o1)
-    return jnp.concatenate(parts, axis=0)
+    out = jnp.concatenate(parts, axis=0)
+    return (out, resid) if save_residuals else out
 
 
 def pack_features_transposed(x: jnp.ndarray, S: int, V: int, cdt) -> jnp.ndarray:
@@ -1172,6 +1260,7 @@ def _pack_layer_weights(
     static_argnames=(
         "S", "V", "out_blocks", "n_radial", "interpret", "compute_dtype",
         "graphs_per_program", "fuse_block", "transposed_in", "transposed_out",
+        "save_residuals",
     ),
 )
 def packed_separable_conv_layer(
@@ -1200,6 +1289,9 @@ def packed_separable_conv_layer(
     skip_params=None,        # fuse_block: IrrepsLinear params of the linear skip
     transposed_in: bool = False,   # x is already [G, Sp + 3*Vp, N] (kernel-native)
     transposed_out: bool = False,  # return raw [G, Cp_out, N] (fuse_block only)
+    save_residuals: bool = False,  # fuse_block only: also return the
+    # residual-forward intermediates for the residual-mode backward kernel:
+    # (out, (h32_d [G, 64, P], h32_b [G, 64, B], aggsum [G, C_agg+1, N]))
 ) -> jnp.ndarray:
     """The COMPLETE SeparableConv layer: dense radial conv + bonded edges +
     mean aggregation + post-linear, fused into one kernel per K graphs.
@@ -1262,9 +1354,13 @@ def packed_separable_conv_layer(
     w1T, b1d, b1b, w2T, b2T, pl0T, pl1T = packed[:7]
     extra_ws = list(packed[7:])
 
+    if save_residuals:
+        assert fuse_block, "save_residuals requires fuse_block"
+
     kernel = functools.partial(
         _layer_kernel, N=N, B=B, S=S, V=V, n_radial=n_radial, K=K, C0=C0, V1=V1,
         fuse_block=fuse_block, gate_shape=gate_shape,
+        save_residuals=save_residuals,
     )
 
     def gspec(shape):
@@ -1277,6 +1373,22 @@ def packed_separable_conv_layer(
         Cp_out = _pad16(gate_shape[0]) + 3 * _pad16(gate_shape[2])
     else:
         Cp_out = C0p + 3 * V1p
+    out_specs = gspec((Cp_out, N))
+    out_shape = jax.ShapeDtypeStruct((Gp, Cp_out, N), f32)
+    if save_residuals:
+        C_agg1 = sum(_agg_row_sizes(S, V, gate_shape[2])) + 1
+        out_specs = (
+            out_specs,
+            gspec((64, N * N)),
+            gspec((64, B)),
+            gspec((C_agg1, N)),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((Gp, 64, N * N), f32),
+            jax.ShapeDtypeStruct((Gp, 64, B), f32),
+            jax.ShapeDtypeStruct((Gp, C_agg1, N), f32),
+        )
     outT = pl.pallas_call(
         kernel,
         grid=(Gp // K,),
@@ -1295,8 +1407,8 @@ def packed_separable_conv_layer(
             shared(pl1T.shape),
         ]
         + [shared(w.shape) for w in extra_ws],
-        out_specs=gspec((Cp_out, N)),
-        out_shape=jax.ShapeDtypeStruct((Gp, Cp_out, N), f32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=None
         if interpret
@@ -1306,11 +1418,17 @@ def packed_separable_conv_layer(
         w1T, b1d, b1b, w2T, b2T, pl0T, pl1T,
         *extra_ws,
     )
+    resids = None
+    if save_residuals:
+        outT, *resids = outT
+        if padg:
+            resids = [r[:G] for r in resids]
+        resids = tuple(resids)
     if padg:
         outT = outT[:G]
 
     if transposed_out:
-        return outT
+        return (outT, resids) if save_residuals else outT
 
     if fuse_block:
         # gate.irreps_out layout: [(Sc, 0e), (Vg, 1e)]
@@ -1322,7 +1440,8 @@ def packed_separable_conv_layer(
             for c in range(3)
         ]
         o1 = jnp.stack(comps, axis=-1).reshape(G, N, 3 * Vg)
-        return jnp.concatenate([o0, o1], axis=-1)
+        out = jnp.concatenate([o0, o1], axis=-1)
+        return (out, resids) if save_residuals else out
 
     # --- reassemble packed irreps layout from the [0e | 1e(y,z,x)] sections ---
     out_parts = []
@@ -1367,20 +1486,14 @@ def _block_bwd_kernel(
     ebs_ref,    # [K, B, N] bond-src one-hot (for the gather backward)
     ebdT_ref,   # [K, N, B] bond-dst one-hot transposed (for the agg backward)
     g_ref,      # [K, Scp + 3*Vgp, N] f32 cotangent
-    # outputs
-    dx_ref,     # [K, Fp, N] f32
-    dw1_ref,    # [64, nr]  f32 (accumulated over programs)
-    db1d_ref,   # [64, 1]
-    db1b_ref,   # [64, 1]
-    dw2_ref,    # [Wp, 64]
-    db2_ref,    # [Wp, 1]
-    dpl0_ref,   # [Scp+Gtp, In0p]
-    dpl1_ref,   # [Vgp, In1p]
-    dlin20_ref, # [Scp, Scp]
-    dlin21_ref, # [Vgp, Vgp]
-    dsk0_ref,   # [Scp, Sp]
-    dsk1_ref,   # [Vgp, Vp|_TILE]
-    *,
+    # with use_residuals, three more inputs precede the outputs:
+    #   rh32d_ref [K, 64, P], rh32b_ref [K, 64, B], ragg_ref [K, C_agg+1, N]
+    # outputs (in `rest` after any residual inputs):
+    #   dx_ref [K, Fp, N] f32; then the accumulated weight grads
+    #   dw1 [64, nr], db1d [64,1], db1b [64,1], dw2 [Wp,64], db2 [Wp,1],
+    #   dpl0 [Scp+Gtp, In0p], dpl1 [Vgp, In1p], dlin20 [Scp, Scp],
+    #   dlin21 [Vgp, Vgp], dsk0 [Scp, Sp], dsk1 [Vgp, Vp|_TILE]
+    *rest,
     N: int,
     B: int,
     S: int,
@@ -1388,7 +1501,13 @@ def _block_bwd_kernel(
     n_radial: int,
     K: int,
     gate_shape,
+    use_residuals: bool = False,
 ):
+    if use_residuals:
+        rh32d_ref, rh32b_ref, ragg_ref = rest[:3]
+        rest = rest[3:]
+    (dx_ref, dw1_ref, db1d_ref, db1b_ref, dw2_ref, db2_ref, dpl0_ref,
+     dpl1_ref, dlin20_ref, dlin21_ref, dsk0_ref, dsk1_ref) = rest
     f32 = jnp.float32
     cdt = nf_ref.dtype
     P = N * N
@@ -1491,10 +1610,95 @@ def _block_bwd_kernel(
                 blocks=blocks, deg=deg,
             )
 
-        Fd = fwd_stream(ef_ref, ei, None, b1d_ref, P, reps=N)
-        Fb = fwd_stream(bf_ref, ebd_ref[k].astype(cdt), ebsT_ref[k].astype(cdt), b1b_ref, B)
-        inv_deg = 1.0 / jnp.maximum(Fd["deg"] + Fb["deg"], 1.0)
-        norm = [((bd + bb) * inv_deg).astype(cdt) for bd, bb in zip(Fd["blocks"], Fb["blocks"])]
+        def fake_stream(feat_ref, L):
+            """_TIMING_FAKE_BWD_RECOMPUTE only: constants stand in for the
+            forward recompute so Mosaic DCEs it — the timing ceiling of the
+            residual-forward optimization. WRONG GRADIENTS (geometry rows stay
+            real so every backward-only contraction remains live)."""
+            shy = feat_ref[k][0:1]
+            shz = feat_ref[k][1:2]
+            shx = feat_ref[k][2:3]
+            adj = feat_ref[k][3:4]
+            radial = feat_ref[k][EF_GEOM : EF_GEOM + n_radial]
+            Wp_ = w2_ref.shape[0]
+            sh = (jnp.broadcast_to(shy, (max(Sp, Vp), L)),
+                  jnp.broadcast_to(shz, (max(Sp, Vp), L)),
+                  jnp.broadcast_to(shx, (max(Sp, Vp), L)))
+            brow = ([Sp, Vgp, Vgp, Vgp] if fold_o2 else [Sp] * 4) + (
+                [Vp] * 7 if V > 0 else []
+            )
+            return dict(
+                radial=radial, h32=jnp.ones((64, L), f32),
+                sig=jnp.ones((64, L), f32), h=jnp.ones((64, L), cdt),
+                w_all=jnp.ones((Wp_, L), cdt), adj=adj,
+                adjS=jnp.broadcast_to(adj, (Sp, L)),
+                sj=jnp.ones((Sp, L), cdt),
+                vj=jnp.ones((3 * Vp, L), cdt) if V > 0 else None,
+                sh=sh, sh1=(shy, shz, shx), t2=jnp.ones((Sp, L), cdt),
+                blocks=[jnp.ones((r, N), f32) for r in brow],
+                deg=jnp.ones((1, N), f32),
+            )
+
+        def resid_stream(feat_ref, rh32_ref, gatherT, L, reps=None):
+            """Residual mode: h32 streams in from the forward; only the cheap
+            per-pair pieces the backward contractions consume are rebuilt
+            (src gathers are a repeat/one small matmul; w_all is one
+            [Wp, 64] @ [64, L] matmul) — the radial layer-1 matmul, every
+            message product, and the aggregation matmuls are all skipped."""
+            shy = feat_ref[k][0:1]
+            shz = feat_ref[k][1:2]
+            shx = feat_ref[k][2:3]
+            adj = feat_ref[k][3:4]
+            radial = feat_ref[k][EF_GEOM : EF_GEOM + n_radial]
+            h32 = rh32_ref[k][...]
+            sig = jax.nn.sigmoid(h32)
+            h = (h32 * sig).astype(cdt)
+            w_all = (mm(w2_ref[...], h) + b2_ref[...]).astype(cdt)
+            adjS = jnp.broadcast_to(adj, (Sp, L))
+            if reps is not None:
+                sj = pltpu.repeat(nf_ref[k][0:Sp], reps, axis=1) * adjS
+            else:
+                sj = mm(nf_ref[k][0:Sp], gatherT).astype(cdt) * adjS
+            sh = (jnp.broadcast_to(shy, (max(Sp, Vp), L)),
+                  jnp.broadcast_to(shz, (max(Sp, Vp), L)),
+                  jnp.broadcast_to(shx, (max(Sp, Vp), L)))
+            vj = None
+            if V > 0:
+                if reps is not None:
+                    vj = pltpu.repeat(nf_ref[k][Sp : Sp + 3 * Vp], reps, axis=1)
+                else:
+                    vj = mm(nf_ref[k][Sp : Sp + 3 * Vp], gatherT).astype(cdt)
+                vj = vj * jnp.broadcast_to(adj, (3 * Vp, L))
+            t2 = w_all[Sp : 2 * Sp] * sj
+            return dict(radial=radial, h32=h32, sig=sig, h=h, w_all=w_all,
+                        adj=adj, adjS=adjS, sj=sj, vj=vj, sh=sh,
+                        sh1=(shy, shz, shx), t2=t2)
+
+        if use_residuals:
+            Fd = resid_stream(ef_ref, rh32d_ref, None, P, reps=N)
+            Fb = resid_stream(bf_ref, rh32b_ref, ebsT_ref[k].astype(cdt), B)
+            ragg = ragg_ref[k]
+            rows = _agg_row_sizes(S, V, Vg)
+            Cagg = sum(rows)
+            inv_deg = 1.0 / jnp.maximum(ragg[Cagg : Cagg + 1], 1.0)
+            norm, off = [], 0
+            for r in rows:
+                norm.append((ragg[off : off + r] * inv_deg).astype(cdt))
+                off += r
+        else:
+            if _TIMING_FAKE_BWD_RECOMPUTE:
+                Fd = fake_stream(ef_ref, P)
+                Fb = fake_stream(bf_ref, B)
+            else:
+                Fd = fwd_stream(ef_ref, ei, None, b1d_ref, P, reps=N)
+                Fb = fwd_stream(
+                    bf_ref, ebd_ref[k].astype(cdt), ebsT_ref[k].astype(cdt), b1b_ref, B
+                )
+            inv_deg = 1.0 / jnp.maximum(Fd["deg"] + Fb["deg"], 1.0)
+            norm = [
+                ((bd + bb) * inv_deg).astype(cdt)
+                for bd, bb in zip(Fd["blocks"], Fb["blocks"])
+            ]
         # with fold_o2 the o2 slots of `norm` hold the pre-folded z2*sh
         # aggregates ([Vgp, N]); only pl1's o3/o5 columns apply post-agg
         in1 = in1v = None
@@ -1740,6 +1944,9 @@ def packed_conv_block_bwd(
     # (measured 4AA b32: K=8 1.97, K=16 1.45, K=32 1.44 ms per layer-call)
     transposed_in: bool = False,   # x is [G, Sp + 3*Vp, N]; dx returned likewise
     transposed_out: bool = False,  # g is [G, Scp + 3*Vgp, N] (kernel-native)
+    residuals=None,  # (h32_d, h32_b, aggsum) from the residual-saving forward
+    # (`packed_separable_conv_layer(save_residuals=True)`): the kernel streams
+    # them in and skips the in-kernel forward recompute entirely
 ):
     """Backward of the fused ConvBlock. Returns grads for
     (x, w1, b1, w2, b2, bond0, bond1, pl_params, lin2_params, skip_params)
@@ -1766,6 +1973,8 @@ def packed_conv_block_bwd(
             return jnp.concatenate([a, jnp.zeros((padg,) + a.shape[1:], a.dtype)], axis=0)
 
         x, ef, bf, ebsT, ebd, g = map(padg_fn, (x, ef, bf, ebsT, ebd, g))
+        if residuals is not None:
+            residuals = tuple(map(padg_fn, residuals))
 
     # --- transposed inputs (same prep as the forward wrapper) ---
     nfT = x.astype(cdt) if transposed_in else pack_features_transposed(x, S, V, cdt)
@@ -1865,7 +2074,7 @@ def packed_conv_block_bwd(
 
     kernel = functools.partial(
         _block_bwd_kernel, N=N, B=B, S=S, V=V, n_radial=n_radial, K=K,
-        gate_shape=(Sc, Gt, Vg),
+        gate_shape=(Sc, Gt, Vg), use_residuals=residuals is not None,
     )
 
     def gspec(shape):
@@ -1919,7 +2128,12 @@ def packed_conv_block_bwd(
             gspec((B, N)),
             gspec((N, B)),
             gspec((gT.shape[1], N)),
-        ],
+        ]
+        + (
+            [gspec(r.shape[1:]) for r in residuals]
+            if residuals is not None
+            else []
+        ),
         out_specs=(gspec((nfT.shape[1], N)),) + tuple(shared(s.shape) for s in out_shapes[1:]),
         out_shape=out_shapes,
         interpret=interpret,
@@ -1936,6 +2150,7 @@ def packed_conv_block_bwd(
         lin20T, lin21T, sk0T, sk1T,
         w2N, pl0N, pl1N, lin20N, lin21N, sk0N, sk1N,
         ebs, ebdT, gT,
+        *(residuals if residuals is not None else ()),
     )
     (dxT, dw1T, db1d, db1b, dw2T, db2T, dpl0T, dpl1T,
      dlin20T, dlin21T, dsk0T, dsk1T) = outs
@@ -2009,12 +2224,19 @@ def packed_conv_block_bwd(
 @functools.lru_cache(maxsize=64)
 def make_trainable_conv_block(
     S, V, out_blocks, n_radial, interpret, compute_dtype,
-    transposed_in=False, transposed_out=False,
+    transposed_in=False, transposed_out=False, use_residuals=False,
 ):
     """A custom-VJP wrapper of the fused ConvBlock: forward = fused kernel,
     backward = the hand-written backward kernel (`_block_bwd_kernel`).
     With the transposed flags, x / the return value / their cotangents stay in
-    the kernel-native [C, N] layout (zero-transpose layer chaining)."""
+    the kernel-native [C, N] layout (zero-transpose layer chaining).
+
+    `use_residuals` (residual-forward training mode): the differentiated
+    forward also emits (h32_d, h32_b, aggsum) residuals, and the backward
+    kernel streams them in instead of recomputing the whole forward per pair
+    — bit-identical gradients (same ops, reassociated storage), traded
+    against the residuals' HBM round trip. Gated by the caller to shapes
+    where the extra VMEM/HBM fits (see `bwd_residuals_enabled`)."""
 
     kw = dict(
         S=S, V=V, out_blocks=out_blocks, n_radial=n_radial,
@@ -2030,12 +2252,22 @@ def make_trainable_conv_block(
         )
 
     def f_fwd(*args):
-        return f(*args), args
+        if not use_residuals:
+            return f(*args), (args, None)
+        (x, ef, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp, l2p, skp) = args
+        out, resids = packed_separable_conv_layer(
+            x, ef, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp,
+            fuse_block=True, lin2_params=l2p, skip_params=skp,
+            save_residuals=True, **kw,
+        )
+        return out, (args, resids)
 
     def f_bwd(res, g):
-        (x, ef, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp, l2p, skp) = res
+        args, resids = res
+        (x, ef, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp, l2p, skp) = args
         dx, dw1, db1, dw2, db2, dbond0, dbond1, dpl, dlin2, dskip = packed_conv_block_bwd(
-            g, x, ef, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp, l2p, skp, **kw
+            g, x, ef, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp, l2p, skp,
+            residuals=resids, **kw,
         )
         zeros = lambda a: jax.tree.map(jnp.zeros_like, a)
         # geometry/edge features carry no parameter dependence (dL/dy is not

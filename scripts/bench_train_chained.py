@@ -26,7 +26,18 @@ def main():
     ap.add_argument("--pad", type=int, default=48)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--paths", default="kernel,xla")
+    ap.add_argument(
+        "--fake-bwd-recompute", action="store_true",
+        help="TIMING ONLY (wrong gradients): DCE the bwd kernel's in-kernel "
+        "forward recompute — the ceiling of the residual-forward optimization",
+    )
     args = ap.parse_args()
+
+    if args.fake_bwd_recompute:
+        from jamun_tpu.ops.pallas import packed_conv
+
+        packed_conv._TIMING_FAKE_BWD_RECOMPUTE = True
+        print("WARNING: fake bwd recompute — gradients are WRONG, timing only", flush=True)
 
     import optax
 

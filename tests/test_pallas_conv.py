@@ -495,3 +495,62 @@ def test_transposed_flags_degrade_gracefully():
     np.testing.assert_allclose(
         np.asarray(out_rt), np.asarray(out_plain), atol=1e-5, rtol=1e-5
     )
+
+
+def test_bwd_residual_mode_grad_equivalence(monkeypatch):
+    """Residual-forward training mode (the backward kernel streams in the
+    forward's h32/aggsum residuals instead of recomputing the forward,
+    `packed_conv.bwd_residuals_enabled`) produces the same gradients as
+    recompute mode — the two are the same math with reassociated storage."""
+    import jax.tree_util as jtu
+
+    from jamun_tpu.ops.conv import ConvBlock
+    from jamun_tpu.ops.pallas import packed_conv as pc
+
+    rng = np.random.default_rng(3)
+    batch = make_test_batch(num_graphs=2, max_nodes=16, nodes_per_graph=[14, 16], scale=0.3)
+    cutoff = jnp.asarray(0.8)
+    bond0 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    bond1 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    edges = _edges(batch, cutoff, bond0, bond1)
+    x = jnp.asarray(rng.standard_normal((2, 16, IRREPS_IN.dim)).astype(np.float32))
+
+    blk = ConvBlock(
+        irreps_in=IRREPS_IN, irreps_out=IRREPS_OUT, irreps_sh=IRREPS_SH,
+        edge_attr_dim=64, tensor_product="uvu", use_pallas=True,
+    )
+    params = blk.init(jax.random.PRNGKey(0), x, edges)
+    cot = jnp.asarray(rng.standard_normal((2, 16, IRREPS_OUT.dim)).astype(np.float32))
+
+    grads = {}
+    for mode in ("1", "0"):
+        monkeypatch.setattr(pc, "_RESID_ENV_SEEN", [])
+        monkeypatch.setenv("JAMUN_BWD_RESID", mode)
+        grads[mode] = jax.grad(
+            lambda p, xx: jnp.sum(blk.apply(p, xx, edges) * cot), argnums=(0, 1)
+        )(params, x)
+    errs = jtu.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b)) / (1e-6 + jnp.max(jnp.abs(a)))),
+        grads["1"], grads["0"],
+    )
+    worst = max(jtu.tree_leaves(errs))
+    assert worst < 1e-6, f"residual vs recompute worst relative grad diff {worst}"
+
+
+def test_bwd_residuals_policy(monkeypatch):
+    from jamun_tpu.ops.pallas import packed_conv as pc
+
+    monkeypatch.setattr(pc, "_RESID_ENV_SEEN", [])
+    monkeypatch.delenv("JAMUN_BWD_RESID", raising=False)
+    assert pc.bwd_residuals_enabled(48) is True      # 4AA bucket
+    assert pc.bwd_residuals_enabled(64) is True
+    assert pc.bwd_residuals_enabled(112) is False    # 5AA: VMEM-bound bwd
+
+    # process-constant guard: flipping the env mid-process raises
+    monkeypatch.setenv("JAMUN_BWD_RESID", "0")
+    with pytest.raises(RuntimeError):
+        pc.bwd_residuals_enabled(48)
+
+    monkeypatch.setattr(pc, "_RESID_ENV_SEEN", [])
+    monkeypatch.setenv("JAMUN_BWD_RESID", "1")
+    assert pc.bwd_residuals_enabled(112) is True
