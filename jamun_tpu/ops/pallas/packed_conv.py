@@ -131,6 +131,32 @@ def _default_k() -> int:
     return _env_k("JAMUN_KGRAPHS", 8)
 
 
+_FWD_SPLIT_OVERRIDE: list = []  # tests/benches set [n] in-process
+
+
+def _fwd_pair_split(n_atoms: int) -> int:
+    """Dense-pair panel split for the forward kernels (JAMUN_FWD_SPLIT,
+    process-constant like the K env vars; `_FWD_SPLIT_OVERRIDE` for
+    in-process tests). With split=s the per-graph dense stream runs as s
+    dst-contiguous column chunks — per-chunk VPU message build feeding a
+    per-chunk aggregation matmul whose results are summed in f32 (an exact
+    K-dimension split of the aggregation contraction; non-chunk dst columns
+    of each partial product are structurally zero). The point is MXU/VPU
+    overlap: chunk c+1's message products carry no dependency on chunk c's
+    aggregation matmuls, so Mosaic's scheduler can co-issue them — the
+    round-3 profile put the N=112 layer kernel at ~60% of its padded-MXU
+    floor with the gap dominated by unoverlapped VPU panel work
+    (BENCH_NOTES round 4c for the measurement). Default 1 = off
+    (bit-identical trace to the pre-split code)."""
+    if _FWD_SPLIT_OVERRIDE:
+        s = _FWD_SPLIT_OVERRIDE[0]
+    else:
+        s = _env_k("JAMUN_FWD_SPLIT", 1)
+    if s <= 1 or n_atoms % s != 0:
+        return 1
+    return s
+
+
 _RESID_ENV_SEEN: list = []
 
 
@@ -915,83 +941,108 @@ def _conv_block_body(
         `reps`: dst-major dense pairs gather src features by TILING
         (sj[:, i*N+j] = nf[:, j]) — a pltpu.repeat copy instead of the
         [C, N] @ [N, P] one-hot matmul, killing the kernel's only
-        N^3-scaling MXU term. Bonds (arbitrary src) keep the matmul."""
-        shy = feat[0:1]
-        shz = feat[1:2]
-        shx = feat[2:3]
-        adj = feat[3:4]
-        radial = feat[EF_GEOM : EF_GEOM + n_radial]
-        h32 = jnp.dot(w1, radial, preferred_element_type=f32, precision=prec) + b1_eff
-        h = (h32 * jax.nn.sigmoid(h32)).astype(cdt)
-        w_all = (
-            jnp.dot(w2, h, preferred_element_type=f32, precision=prec) + b2
-        ).astype(cdt)
+        N^3-scaling MXU term. Bonds (arbitrary src) keep the matmul.
 
-        adjS = jnp.broadcast_to(adj, (Sp, L))
-        if reps is not None:
-            sj = pltpu.repeat(nf[0:Sp], reps, axis=1) * adjS
-        else:
-            sj = (
-                jnp.dot(nf[0:Sp], gatherT, preferred_element_type=f32, precision=prec)
-            ).astype(cdt) * adjS
-        w1p = w_all[0:Sp]
-        w2p = w_all[Sp : 2 * Sp]
-        m1 = w1p * sj
-        t2 = w2p * sj
-        if fold_o2:
-            # o2-fold: the post-linear's o2 columns commute past the per-pair
-            # SH scalar rows — pl1a @ (t2 * sh_c) == (pl1a @ t2) * sh_c — so
-            # ONE [V1p, Sp] @ [Sp, L] matmul (K = Sp: a full MXU contraction)
-            # replaces the three WIDEST (Sp-row) message blocks with V1p-row
-            # blocks BEFORE aggregation. At flagship widths this cuts the
-            # aggregation matmuls (the kernel's dominant MXU term) from 737
-            # to 449 rows and the t2*sh VPU products from Sp to V1p rows.
-            z2 = jnp.dot(
-                pl1[:, 0:Sp], t2, preferred_element_type=f32, precision=prec
+        Dense pairs optionally run as `_fwd_pair_split` dst-contiguous
+        column chunks (MXU/VPU overlap — see that docstring): per-chunk
+        messages feed a per-chunk aggregation matmul, partial aggregates
+        summed in f32 (exact contraction split)."""
+
+        def chunk(featc, rhs_c, repsc, Lc):
+            shy = featc[0:1]
+            shz = featc[1:2]
+            shx = featc[2:3]
+            adj = featc[3:4]
+            radial = featc[EF_GEOM : EF_GEOM + n_radial]
+            h32 = jnp.dot(w1, radial, preferred_element_type=f32, precision=prec) + b1_eff
+            h = (h32 * jax.nn.sigmoid(h32)).astype(cdt)
+            w_all = (
+                jnp.dot(w2, h, preferred_element_type=f32, precision=prec) + b2
             ).astype(cdt)
-            Zr = z2.shape[0]
-            msgs = [
-                m1,
-                z2 * jnp.broadcast_to(shy, (Zr, L)),
-                z2 * jnp.broadcast_to(shz, (Zr, L)),
-                z2 * jnp.broadcast_to(shx, (Zr, L)),
-            ]
-        else:
-            shyS = jnp.broadcast_to(shy, (Sp, L))
-            shzS = jnp.broadcast_to(shz, (Sp, L))
-            shxS = jnp.broadcast_to(shx, (Sp, L))
-            msgs = [m1, t2 * shyS, t2 * shzS, t2 * shxS]
-        if V > 0:
-            if reps is not None:
-                vj = pltpu.repeat(nf[Sp : Sp + 3 * Vp], reps, axis=1)
+
+            adjS = jnp.broadcast_to(adj, (Sp, Lc))
+            if repsc is not None:
+                sj = pltpu.repeat(nf[0:Sp], repsc, axis=1) * adjS
             else:
-                vj = (
-                    jnp.dot(
-                        nf[Sp : Sp + 3 * Vp], gatherT,
-                        preferred_element_type=f32, precision=prec,
-                    )
+                sj = (
+                    jnp.dot(nf[0:Sp], gatherT, preferred_element_type=f32, precision=prec)
+                ).astype(cdt) * adjS
+            w1p = w_all[0:Sp]
+            w2p = w_all[Sp : 2 * Sp]
+            m1 = w1p * sj
+            t2 = w2p * sj
+            if fold_o2:
+                # o2-fold: the post-linear's o2 columns commute past the
+                # per-pair SH scalar rows — pl1a @ (t2 * sh_c) ==
+                # (pl1a @ t2) * sh_c — so ONE [V1p, Sp] @ [Sp, L] matmul
+                # (K = Sp: a full MXU contraction) replaces the three WIDEST
+                # (Sp-row) message blocks with V1p-row blocks BEFORE
+                # aggregation. At flagship widths this cuts the aggregation
+                # matmuls (the kernel's dominant MXU term) from 737 to 449
+                # rows and the t2*sh VPU products from Sp to V1p rows.
+                z2 = jnp.dot(
+                    pl1[:, 0:Sp], t2, preferred_element_type=f32, precision=prec
                 ).astype(cdt)
-            vj = vj * jnp.broadcast_to(adj, (3 * Vp, L))
-            vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
-            w3p = w_all[2 * Sp : 2 * Sp + Vp]
-            w4p = w_all[2 * Sp + Vp : 2 * Sp + 2 * Vp]
-            w5p = w_all[2 * Sp + 2 * Vp : 2 * Sp + 3 * Vp]
-            sy = jnp.broadcast_to(shy, (Vp, L))
-            sz = jnp.broadcast_to(shz, (Vp, L))
-            sx = jnp.broadcast_to(shx, (Vp, L))
-            dotv = vy * sy + vz * sz + vx * sx
-            msgs += [
-                w3p * vy,
-                w3p * vz,
-                w3p * vx,
-                w4p * dotv * _INV_SQRT3,
-                w5p * (vz * sx - vx * sz) * _INV_SQRT2,
-                w5p * (vx * sy - vy * sx) * _INV_SQRT2,
-                w5p * (vy * sz - vz * sy) * _INV_SQRT2,
-            ]
-        msgs.append(adj)  # degree row
-        outs = _bundled_agg(msgs, agg_rhs, prec)
-        return outs[:-1], outs[-1], h32
+                Zr = z2.shape[0]
+                msgs = [
+                    m1,
+                    z2 * jnp.broadcast_to(shy, (Zr, Lc)),
+                    z2 * jnp.broadcast_to(shz, (Zr, Lc)),
+                    z2 * jnp.broadcast_to(shx, (Zr, Lc)),
+                ]
+            else:
+                shyS = jnp.broadcast_to(shy, (Sp, Lc))
+                shzS = jnp.broadcast_to(shz, (Sp, Lc))
+                shxS = jnp.broadcast_to(shx, (Sp, Lc))
+                msgs = [m1, t2 * shyS, t2 * shzS, t2 * shxS]
+            if V > 0:
+                if repsc is not None:
+                    vj = pltpu.repeat(nf[Sp : Sp + 3 * Vp], repsc, axis=1)
+                else:
+                    vj = (
+                        jnp.dot(
+                            nf[Sp : Sp + 3 * Vp], gatherT,
+                            preferred_element_type=f32, precision=prec,
+                        )
+                    ).astype(cdt)
+                vj = vj * jnp.broadcast_to(adj, (3 * Vp, Lc))
+                vy, vz, vx = vj[0:Vp], vj[Vp : 2 * Vp], vj[2 * Vp : 3 * Vp]
+                w3p = w_all[2 * Sp : 2 * Sp + Vp]
+                w4p = w_all[2 * Sp + Vp : 2 * Sp + 2 * Vp]
+                w5p = w_all[2 * Sp + 2 * Vp : 2 * Sp + 3 * Vp]
+                sy = jnp.broadcast_to(shy, (Vp, Lc))
+                sz = jnp.broadcast_to(shz, (Vp, Lc))
+                sx = jnp.broadcast_to(shx, (Vp, Lc))
+                dotv = vy * sy + vz * sz + vx * sx
+                msgs += [
+                    w3p * vy,
+                    w3p * vz,
+                    w3p * vx,
+                    w4p * dotv * _INV_SQRT3,
+                    w5p * (vz * sx - vx * sz) * _INV_SQRT2,
+                    w5p * (vx * sy - vy * sx) * _INV_SQRT2,
+                    w5p * (vy * sz - vz * sy) * _INV_SQRT2,
+                ]
+            msgs.append(adj)  # degree row
+            return _bundled_agg(msgs, rhs_c, prec), h32
+
+        split = _fwd_pair_split(N) if reps is not None else 1
+        if split == 1:
+            outs, h32 = chunk(feat, agg_rhs, reps, L)
+            return outs[:-1], outs[-1], h32
+        Lc = L // split
+        rc = reps // split
+        acc = None
+        h32s = []
+        for c in range(split):
+            sl = slice(c * Lc, (c + 1) * Lc)
+            outs, h32c = chunk(feat[:, sl], agg_rhs[sl], rc, Lc)
+            acc = outs if acc is None else [a + o for a, o in zip(acc, outs)]
+            h32s.append(h32c)
+        # h32 is only consumed by save_residuals (training); the lane-dim
+        # concat is DCE'd otherwise, but keep the trace clean anyway
+        h32 = jnp.concatenate(h32s, axis=1) if save_residuals else h32s[0]
+        return acc[:-1], acc[-1], h32
 
     blocks_d, deg_d, h32_d = stream(ef, ei, None, b1d, P, reps=N)
     resid = None

@@ -554,3 +554,66 @@ def test_bwd_residuals_policy(monkeypatch):
     monkeypatch.setattr(pc, "_RESID_ENV_SEEN", [])
     monkeypatch.setenv("JAMUN_BWD_RESID", "1")
     assert pc.bwd_residuals_enabled(112) is True
+
+
+def test_fwd_pair_split_parity(monkeypatch):
+    """JAMUN_FWD_SPLIT chunked dense-pair execution (the MXU/VPU-overlap
+    lever, `packed_conv._fwd_pair_split`) is an exact K-dimension split of
+    the aggregation contraction: forward outputs and gradients match the
+    unsplit kernel, including the residual-forward training mode whose h32
+    residuals are lane-concatenated across chunks."""
+    import jax.tree_util as jtu
+
+    from jamun_tpu.ops.conv import ConvBlock
+    from jamun_tpu.ops.pallas import packed_conv as pc
+
+    rng = np.random.default_rng(11)
+    batch = make_test_batch(num_graphs=2, max_nodes=16, nodes_per_graph=[14, 16], scale=0.3)
+    cutoff = jnp.asarray(0.8)
+    bond0 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    bond1 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    edges = _edges(batch, cutoff, bond0, bond1)
+    x = jnp.asarray(rng.standard_normal((2, 16, IRREPS_IN.dim)).astype(np.float32))
+
+    blk = ConvBlock(
+        irreps_in=IRREPS_IN, irreps_out=IRREPS_OUT, irreps_sh=IRREPS_SH,
+        edge_attr_dim=64, tensor_product="uvu", use_pallas=True,
+    )
+    params = blk.init(jax.random.PRNGKey(0), x, edges)
+    cot = jnp.asarray(rng.standard_normal((2, 16, IRREPS_OUT.dim)).astype(np.float32))
+
+    outs, grads = {}, {}
+    for split in (1, 2, 4):
+        monkeypatch.setattr(pc, "_FWD_SPLIT_OVERRIDE", [split])
+        # residual mode on: the split path's chunked-h32 concat feeds the bwd
+        monkeypatch.setattr(pc, "_RESID_ENV_SEEN", [])
+        monkeypatch.setenv("JAMUN_BWD_RESID", "1")
+        outs[split] = np.asarray(jax.jit(blk.apply)(params, x, edges))
+        grads[split] = jax.grad(
+            lambda p, xx: jnp.sum(blk.apply(p, xx, edges) * cot), argnums=(0, 1)
+        )(params, x)
+
+    for split in (2, 4):
+        np.testing.assert_allclose(outs[split], outs[1], atol=1e-5, rtol=1e-5)
+        errs = jtu.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b)) / (1e-6 + jnp.max(jnp.abs(a)))),
+            grads[split], grads[1],
+        )
+        worst = max(jtu.tree_leaves(errs))
+        assert worst < 1e-5, f"split={split} worst relative grad diff {worst}"
+
+
+def test_fwd_pair_split_policy(monkeypatch):
+    from jamun_tpu.ops.pallas import packed_conv as pc
+
+    monkeypatch.setattr(pc, "_K_ENV_SEEN", {})
+    monkeypatch.delenv("JAMUN_FWD_SPLIT", raising=False)
+    assert pc._fwd_pair_split(112) == 1          # default: off
+
+    monkeypatch.setattr(pc, "_K_ENV_SEEN", {})
+    monkeypatch.setenv("JAMUN_FWD_SPLIT", "2")
+    assert pc._fwd_pair_split(112) == 2
+    assert pc._fwd_pair_split(15) == 1           # N not divisible -> off
+
+    monkeypatch.setattr(pc, "_FWD_SPLIT_OVERRIDE", [4])
+    assert pc._fwd_pair_split(112) == 4          # in-process override wins
