@@ -160,15 +160,26 @@ def _fwd_pair_split(n_atoms: int) -> int:
 _RESID_ENV_SEEN: list = []
 
 
-def bwd_residuals_enabled(n_atoms: int) -> bool:
-    """Residual-forward training-mode policy (JAMUN_BWD_RESID = auto|1|0,
-    process-constant like the K env vars): the differentiated forward saves
-    (h32, aggsum) residuals and the backward kernel skips its in-kernel
-    forward recompute. auto (default) engages at N <= 64 — the 2AA/4AA
-    training recipes, where the recompute dominates the backward and the
-    [64, N^2] residual streams fit VMEM at the default K. At N = 112 the
-    recompute-mode backward already peaks at ~119MB of its 127MB scoped VMEM
-    (BENCH_NOTES round 3e), so residual streams cannot fit there."""
+def bwd_residuals_enabled(n_atoms: int):
+    """Residual-forward training-mode policy (JAMUN_BWD_RESID =
+    auto|1|light|0, process-constant like the K env vars). Returns
+    False | True | "light":
+
+    - True (full): the differentiated forward saves (h32_d, h32_b, aggsum)
+      and the backward kernel skips its entire in-kernel forward recompute.
+      auto engages this at N <= 64 — the 2AA/4AA training recipes, where the
+      recompute dominates the backward and the [64, N^2] h32_d stream fits
+      VMEM at the default K.
+    - "light": saves only (h32_b, aggsum) — the dense-stream h32_d
+      ([64, N^2] f32, the ONLY residual whose size scales with N^2) is
+      recomputed in-kernel (one narrow [64, nr] @ [nr, P] matmul,
+      bit-identical), while the streamed aggsum still kills the recompute's
+      dominant terms: every message product and aggregation matmul. Measured
+      necessary at N = 112: full mode's h32_d input windows alone are ~98MB
+      of VMEM at K_bwd = 16 (227MB total vs the 128MiB part — the compiler's
+      own report, BENCH_NOTES round 4c), while aggsum is ~0.2MB/graph.
+    - False: full in-kernel recompute (the N > 128 tiled path never reads
+      this policy)."""
     import os
 
     v = os.environ.get("JAMUN_BWD_RESID", "auto").lower()
@@ -181,10 +192,12 @@ def bwd_residuals_enabled(n_atoms: int) -> bool:
         _RESID_ENV_SEEN.append(v)
     if v in ("1", "true", "on"):
         return True
+    if v == "light":
+        return "light"
     if v in ("0", "false", "off"):
         return False
     if v != "auto":
-        raise ValueError(f"JAMUN_BWD_RESID={v!r} (want auto/1/0)")
+        raise ValueError(f"JAMUN_BWD_RESID={v!r} (want auto/1/light/0)")
     return n_atoms <= 64
 
 
@@ -817,9 +830,12 @@ def _layer_kernel(
 ):
     rh32d_ref = rh32b_ref = ragg_ref = None
     if fuse_block:
-        if save_residuals:
+        if save_residuals is True:
             (lin20_ref, lin21_ref, sk0_ref, sk1_ref, out_ref,
              rh32d_ref, rh32b_ref, ragg_ref) = rest
+        elif save_residuals:  # "light": no dense-h32 stream
+            (lin20_ref, lin21_ref, sk0_ref, sk1_ref, out_ref,
+             rh32b_ref, ragg_ref) = rest
         else:
             lin20_ref, lin21_ref, sk0_ref, sk1_ref, out_ref = rest
         Sc, Gt, Vg = gate_shape
@@ -851,9 +867,13 @@ def _layer_kernel(
             fuse_block=fuse_block, gate_shape=gate_shape, ei=ei,
             save_residuals=save_residuals,
         )
-        if save_residuals:
+        if save_residuals is True:
             out, (h32_d, h32_b, aggsum) = out
             rh32d_ref[k] = h32_d
+            rh32b_ref[k] = h32_b
+            ragg_ref[k] = aggsum
+        elif save_residuals:
+            out, (h32_b, aggsum) = out
             rh32b_ref[k] = h32_b
             ragg_ref[k] = aggsum
         out_ref[k] = out
@@ -1039,9 +1059,10 @@ def _conv_block_body(
             outs, h32c = chunk(feat[:, sl], agg_rhs[sl], rc, Lc)
             acc = outs if acc is None else [a + o for a, o in zip(acc, outs)]
             h32s.append(h32c)
-        # h32 is only consumed by save_residuals (training); the lane-dim
-        # concat is DCE'd otherwise, but keep the trace clean anyway
-        h32 = jnp.concatenate(h32s, axis=1) if save_residuals else h32s[0]
+        # h32 is only consumed by full-residual saving (training); light
+        # mode recomputes the dense h32 in the backward kernel instead, so
+        # the lane-dim concat is only traced when actually stored
+        h32 = jnp.concatenate(h32s, axis=1) if save_residuals is True else h32s[0]
         return acc[:-1], acc[-1], h32
 
     blocks_d, deg_d, h32_d = stream(ef, ei, None, b1d, P, reps=N)
@@ -1066,15 +1087,18 @@ def _conv_block_body(
             # residual-forward (training): save the radial pre-activations
             # and the summed PRE-normalization aggregates + degree row so the
             # backward kernel skips the whole per-pair forward recompute
-            # (norm is rebuilt bit-identically as aggsum * 1/max(deg, 1))
+            # (norm is rebuilt bit-identically as aggsum * 1/max(deg, 1)).
+            # "light" drops the [64, N^2] dense h32_d (the backward
+            # recomputes it bit-identically) so the residuals stay O(N).
+            aggsum = jnp.concatenate(
+                [bd + bb for bd, bb in zip(blocks_d, blocks_b)]
+                + [deg_d + deg_b],
+                axis=0,
+            )
             resid = (
-                h32_d,
-                h32_b,
-                jnp.concatenate(
-                    [bd + bb for bd, bb in zip(blocks_d, blocks_b)]
-                    + [deg_d + deg_b],
-                    axis=0,
-                ),
+                (h32_b, aggsum)
+                if save_residuals == "light"
+                else (h32_d, h32_b, aggsum)
             )
     if V > 0:
         o1n, o2y, o2z, o2x, o3y, o3z, o3x, o4n, o5y, o5z, o5x = norm
@@ -1428,15 +1452,20 @@ def packed_separable_conv_layer(
     out_shape = jax.ShapeDtypeStruct((Gp, Cp_out, N), f32)
     if save_residuals:
         C_agg1 = sum(_agg_row_sizes(S, V, gate_shape[2])) + 1
+        dense_h32 = (
+            ((gspec((64, N * N)),), (jax.ShapeDtypeStruct((Gp, 64, N * N), f32),))
+            if save_residuals is True
+            else ((), ())
+        )
         out_specs = (
             out_specs,
-            gspec((64, N * N)),
+            *dense_h32[0],
             gspec((64, B)),
             gspec((C_agg1, N)),
         )
         out_shape = (
             out_shape,
-            jax.ShapeDtypeStruct((Gp, 64, N * N), f32),
+            *dense_h32[1],
             jax.ShapeDtypeStruct((Gp, 64, B), f32),
             jax.ShapeDtypeStruct((Gp, C_agg1, N), f32),
         )
@@ -1554,9 +1583,13 @@ def _block_bwd_kernel(
     gate_shape,
     use_residuals: bool = False,
 ):
-    if use_residuals:
+    rh32d_ref = rh32b_ref = ragg_ref = None
+    if use_residuals is True:
         rh32d_ref, rh32b_ref, ragg_ref = rest[:3]
         rest = rest[3:]
+    elif use_residuals:  # "light": dense h32 recomputed in-kernel
+        rh32b_ref, ragg_ref = rest[:2]
+        rest = rest[2:]
     (dx_ref, dw1_ref, db1d_ref, db1b_ref, dw2_ref, db2_ref, dpl0_ref,
      dpl1_ref, dlin20_ref, dlin21_ref, dsk0_ref, dsk1_ref) = rest
     f32 = jnp.float32
@@ -1690,18 +1723,23 @@ def _block_bwd_kernel(
                 deg=jnp.ones((1, N), f32),
             )
 
-        def resid_stream(feat_ref, rh32_ref, gatherT, L, reps=None):
-            """Residual mode: h32 streams in from the forward; only the cheap
-            per-pair pieces the backward contractions consume are rebuilt
-            (src gathers are a repeat/one small matmul; w_all is one
-            [Wp, 64] @ [64, L] matmul) — the radial layer-1 matmul, every
-            message product, and the aggregation matmuls are all skipped."""
+        def resid_stream(feat_ref, rh32_ref, gatherT, b1_eff, L, reps=None):
+            """Residual mode: h32 streams in from the forward (or, light
+            mode's dense stream: rh32_ref is None and h32 is recomputed
+            bit-identically — one narrow [64, nr] @ [nr, L] matmul); only
+            the cheap per-pair pieces the backward contractions consume are
+            rebuilt (src gathers are a repeat/one small matmul; w_all is one
+            [Wp, 64] @ [64, L] matmul) — every message product and the
+            aggregation matmuls are skipped in both flavors."""
             shy = feat_ref[k][0:1]
             shz = feat_ref[k][1:2]
             shx = feat_ref[k][2:3]
             adj = feat_ref[k][3:4]
             radial = feat_ref[k][EF_GEOM : EF_GEOM + n_radial]
-            h32 = rh32_ref[k][...]
+            if rh32_ref is None:
+                h32 = mm(w1_ref[...], radial) + b1_eff[...]
+            else:
+                h32 = rh32_ref[k][...]
             sig = jax.nn.sigmoid(h32)
             h = (h32 * sig).astype(cdt)
             w_all = (mm(w2_ref[...], h) + b2_ref[...]).astype(cdt)
@@ -1726,8 +1764,8 @@ def _block_bwd_kernel(
                         sh1=(shy, shz, shx), t2=t2)
 
         if use_residuals:
-            Fd = resid_stream(ef_ref, rh32d_ref, None, P, reps=N)
-            Fb = resid_stream(bf_ref, rh32b_ref, ebsT_ref[k].astype(cdt), B)
+            Fd = resid_stream(ef_ref, rh32d_ref, None, b1d_ref, P, reps=N)
+            Fb = resid_stream(bf_ref, rh32b_ref, ebsT_ref[k].astype(cdt), b1b_ref, B)
             ragg = ragg_ref[k]
             rows = _agg_row_sizes(S, V, Vg)
             Cagg = sum(rows)
@@ -1997,7 +2035,10 @@ def packed_conv_block_bwd(
     transposed_out: bool = False,  # g is [G, Scp + 3*Vgp, N] (kernel-native)
     residuals=None,  # (h32_d, h32_b, aggsum) from the residual-saving forward
     # (`packed_separable_conv_layer(save_residuals=True)`): the kernel streams
-    # them in and skips the in-kernel forward recompute entirely
+    # them in and skips the in-kernel forward recompute entirely. A 2-tuple
+    # (h32_b, aggsum) is light mode (`save_residuals="light"`): the dense
+    # h32 is recomputed in-kernel, the O(N) residuals still kill the
+    # message-product and aggregation recompute.
 ):
     """Backward of the fused ConvBlock. Returns grads for
     (x, w1, b1, w2, b2, bond0, bond1, pl_params, lin2_params, skip_params)
@@ -2125,7 +2166,11 @@ def packed_conv_block_bwd(
 
     kernel = functools.partial(
         _block_bwd_kernel, N=N, B=B, S=S, V=V, n_radial=n_radial, K=K,
-        gate_shape=(Sc, Gt, Vg), use_residuals=residuals is not None,
+        gate_shape=(Sc, Gt, Vg),
+        use_residuals=(
+            False if residuals is None
+            else ("light" if len(residuals) == 2 else True)
+        ),
     )
 
     def gspec(shape):
@@ -2309,7 +2354,7 @@ def make_trainable_conv_block(
         out, resids = packed_separable_conv_layer(
             x, ef, bf, ebsT, ebd, w1, b1, w2, b2, bond0, bond1, plp,
             fuse_block=True, lin2_params=l2p, skip_params=skp,
-            save_residuals=True, **kw,
+            save_residuals=use_residuals, **kw,
         )
         return out, (args, resids)
 

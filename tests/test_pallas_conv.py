@@ -523,18 +523,19 @@ def test_bwd_residual_mode_grad_equivalence(monkeypatch):
     cot = jnp.asarray(rng.standard_normal((2, 16, IRREPS_OUT.dim)).astype(np.float32))
 
     grads = {}
-    for mode in ("1", "0"):
+    for mode in ("1", "light", "0"):
         monkeypatch.setattr(pc, "_RESID_ENV_SEEN", [])
         monkeypatch.setenv("JAMUN_BWD_RESID", mode)
         grads[mode] = jax.grad(
             lambda p, xx: jnp.sum(blk.apply(p, xx, edges) * cot), argnums=(0, 1)
         )(params, x)
-    errs = jtu.tree_map(
-        lambda a, b: float(jnp.max(jnp.abs(a - b)) / (1e-6 + jnp.max(jnp.abs(a)))),
-        grads["1"], grads["0"],
-    )
-    worst = max(jtu.tree_leaves(errs))
-    assert worst < 1e-6, f"residual vs recompute worst relative grad diff {worst}"
+    for mode in ("1", "light"):
+        errs = jtu.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b)) / (1e-6 + jnp.max(jnp.abs(a)))),
+            grads[mode], grads["0"],
+        )
+        worst = max(jtu.tree_leaves(errs))
+        assert worst < 1e-6, f"{mode} vs recompute worst relative grad diff {worst}"
 
 
 def test_bwd_residuals_policy(monkeypatch):
