@@ -2234,12 +2234,17 @@ def packed_conv_block_bwd(
         out_shape=out_shapes,
         interpret=interpret,
         # The bwd kernel holds both streams' forward state plus the grad
-        # accumulators; at N=112 its stack peaks at ~119MB (measured via the
-        # compiler's scoped-vmem report), so it alone gets a limit near the
-        # v5e physical 128MiB instead of the 100MB the other kernels use.
+        # accumulators; at N=112 its recompute-mode stack peaks at ~119MB
+        # (measured via the compiler's scoped-vmem report), so it alone gets
+        # a limit near the v5e physical 128MiB instead of the 100MB the
+        # other kernels use. JAMUN_BWD_VMEM_MB overrides for footprint
+        # probing (binary-search the limit; the compiler's failure report
+        # prints the true scoped demand) — process-constant like the K vars.
         compiler_params=None
         if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=_env_k("JAMUN_BWD_VMEM_MB", 127) * 1024 * 1024
+        ),
     )(
         nfT, ef, bf, ebsT, ebd,
         w1T, b1d.astype(f32)[:, None], b1b.astype(f32)[:, None], w2T, b2T, pl0T, pl1T,
