@@ -154,6 +154,12 @@ def _fwd_pair_split(n_atoms: int) -> int:
         s = _env_k("JAMUN_FWD_SPLIT", 1)
     if s <= 1 or n_atoms % s != 0:
         return 1
+    # chunk panels must stay 128-lane aligned: a chunk width with a non-zero
+    # lane offset (e.g. N=112 s=4 -> Lc=3136=24.5x128) gives sliced vectors
+    # a vpad offset Mosaic's concat rejects ("result/input offset mismatch
+    # on non-concat dimension", measured at N=112 s=4 — BENCH_NOTES r4c)
+    if (n_atoms * n_atoms) % (s * 128) != 0:
+        return 1
     return s
 
 

@@ -584,7 +584,7 @@ def test_fwd_pair_split_parity(monkeypatch):
     cot = jnp.asarray(rng.standard_normal((2, 16, IRREPS_OUT.dim)).astype(np.float32))
 
     outs, grads = {}, {}
-    for split in (1, 2, 4):
+    for split in (1, 2):  # N=16: split=4 gives 64-lane chunks, gated off
         monkeypatch.setattr(pc, "_FWD_SPLIT_OVERRIDE", [split])
         # residual mode on: the split path's chunked-h32 concat feeds the bwd
         monkeypatch.setattr(pc, "_RESID_ENV_SEEN", [])
@@ -594,7 +594,7 @@ def test_fwd_pair_split_parity(monkeypatch):
             lambda p, xx: jnp.sum(blk.apply(p, xx, edges) * cot), argnums=(0, 1)
         )(params, x)
 
-    for split in (2, 4):
+    for split in (2,):
         np.testing.assert_allclose(outs[split], outs[1], atol=1e-5, rtol=1e-5)
         errs = jtu.tree_map(
             lambda a, b: float(jnp.max(jnp.abs(a - b)) / (1e-6 + jnp.max(jnp.abs(a)))),
@@ -613,8 +613,10 @@ def test_fwd_pair_split_policy(monkeypatch):
 
     monkeypatch.setattr(pc, "_K_ENV_SEEN", {})
     monkeypatch.setenv("JAMUN_FWD_SPLIT", "2")
-    assert pc._fwd_pair_split(112) == 2
+    assert pc._fwd_pair_split(112) == 2          # Lc = 6272 = 49x128: aligned
     assert pc._fwd_pair_split(15) == 1           # N not divisible -> off
 
     monkeypatch.setattr(pc, "_FWD_SPLIT_OVERRIDE", [4])
-    assert pc._fwd_pair_split(112) == 4          # in-process override wins
+    # N=112 s=4 -> Lc=3136, a 64-lane offset Mosaic's concat rejects -> off
+    assert pc._fwd_pair_split(112) == 1
+    assert pc._fwd_pair_split(128) == 4          # Lc = 4096: aligned
