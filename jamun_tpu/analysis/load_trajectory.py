@@ -43,15 +43,24 @@ def load_run_trajectory(run_dir: str, label: str) -> Tuple[Topology, np.ndarray]
     return top, np.concatenate([np.load(p) for p in parts], axis=0)
 
 
-def write_sampling_times_csv(path: str, rates: Dict[str, float]) -> None:
-    """rates: label -> seconds per sample. Layout mirrors the reference's
-    `analysis/sampling_times/JAMUN.csv` (label, time_per_sample)."""
+def write_sampling_times_csv(path: str, rates) -> None:
+    """rates: label -> seconds per sample (float), or label -> dict of
+    columns (must include "time_per_sample_seconds"; extra columns like
+    "time_per_sample_seconds_incl_compile"/"samples"/overflow stats are
+    appended). Layout mirrors the reference's
+    `analysis/sampling_times/JAMUN.csv` (label, time_per_sample);
+    `get_sampling_rate` always reads the warm "time_per_sample_seconds"."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    rows = {
+        label: (r if isinstance(r, dict) else {"time_per_sample_seconds": r})
+        for label, r in rates.items()
+    }
+    extra_cols = sorted({k for r in rows.values() for k in r} - {"time_per_sample_seconds"})
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["label", "time_per_sample_seconds"])
-        for label, rate in sorted(rates.items()):
-            w.writerow([label, rate])
+        w.writerow(["label", "time_per_sample_seconds", *extra_cols])
+        for label, r in sorted(rows.items()):
+            w.writerow([label, r["time_per_sample_seconds"], *(r.get(c, "") for c in extra_cols)])
 
 
 def get_sampling_rate(csv_path: str, label: str) -> Optional[float]:

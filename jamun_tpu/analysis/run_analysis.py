@@ -223,7 +223,29 @@ def main(argv=None):
         log.info("speed-matched rerun: pred %.3g s/sample vs ref %.3g s/sample", pred_rate, ref_rate)
         ref_subset = subset_reference_trajectory(pred, ref, pred_rate, ref_rate)
         base, ext = os.path.splitext(args.out)
-        if len(ref_subset) < 2:
+        if len(ref_subset) >= len(ref):
+            # factor saturated at 1.0: the sampled wall-clock budget covers
+            # the ENTIRE reference ensemble, so the "speed-matched" rerun
+            # would compare the full reference against itself (every JSD
+            # exactly 0 — an information-free artifact, ADVICE r4). Record
+            # the saturation explicitly instead.
+            log.warning(
+                "speed-matched budget saturates the reference (%d frames >= "
+                "%d available); skipping the degenerate benchmark rerun",
+                len(ref_subset), len(ref),
+            )
+            save(
+                {"speed_matched": {
+                    "pred_seconds_per_sample": pred_rate,
+                    "ref_seconds_per_sample": ref_rate,
+                    "ref_subset_frames": len(ref_subset),
+                    "ref_total_frames": len(ref),
+                    "skipped": "budget saturated: subset == full reference "
+                    "(all JSDs would be trivially 0)",
+                }},
+                f"{base}_benchmark{ext or '.json'}",
+            )
+        elif len(ref_subset) < 2:
             # the matched wall-clock budget rounded to <2 reference frames —
             # histograms/TICA on an empty array would emit NaN JSDs; record
             # the degenerate budget explicitly instead of a NaN-filled JSON

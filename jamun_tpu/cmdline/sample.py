@@ -168,7 +168,9 @@ def run(cfg) -> None:
                 for m in metrics_per_dataset[d]:
                     m.update(s)
 
-    timing_cb = MeasureSamplingTimeCallback()
+    timing_cb = MeasureSamplingTimeCallback(
+        label_for_graph=[datasets[d].label() for d in graph_to_dataset]
+    )
     callbacks = [
         _AllMetricsCallback([m for ms in metrics_per_dataset for m in ms]),
         timing_cb,
@@ -200,11 +202,15 @@ def run(cfg) -> None:
     from jamun_tpu.analysis.load_trajectory import write_sampling_times_csv
 
     if timing_cb.total_samples:
-        rate = timing_cb.total_seconds / timing_cb.total_samples
-        write_sampling_times_csv(
-            os.path.join(out_dir, "sampling_times.csv"),
-            {ds.label(): rate for ds in datasets},
-        )
+        # per-label rows with the warm (compile-excluded) rate first — the
+        # speed-matched analysis budget must reflect steady-state sampling
+        # speed, not the first batch's compile (ADVICE r4)
+        rows = timing_cb.rates()
+        if timing_cb.last_neighbor_overflow is not None:
+            for r in rows.values():
+                r["neighbor_overflow_mean"] = timing_cb.last_neighbor_overflow["mean"]
+                r["neighbor_overflow_max"] = timing_cb.last_neighbor_overflow["max"]
+        write_sampling_times_csv(os.path.join(out_dir, "sampling_times.csv"), rows)
 
 
 def main(argv=None):

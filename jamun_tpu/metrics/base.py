@@ -93,22 +93,87 @@ def _summarize(d: Dict[str, Any]) -> Dict[str, Any]:
 class MeasureSamplingTimeCallback:
     """Logs per-batch and cumulative time-per-sample
     (`callbacks/sampler/_measure_sampling_time.py:8-89`) — the source of the
-    reference's ms/sample numbers."""
+    reference's ms/sample numbers.
 
-    def __init__(self):
+    `label_for_graph` (graph_index -> dataset label) enables per-label rates:
+    all labels in a batch walk in lockstep inside one SPMD program, so each
+    batch's wall clock is attributed to labels proportionally to their sample
+    counts (the reference runs one peptide per job and gets per-peptide CSVs
+    for free; proportional attribution is the batched analog).
+
+    The first batch carries the walk's compile time (ADVICE r4: ~10x the warm
+    rate through the tunnel), so `rates()` excludes batch 0 whenever >= 2
+    batches ran; the all-batches rate is reported alongside as
+    `*_incl_compile`. Speed-matched analysis budgets should use the warm rate.
+    """
+
+    def __init__(self, label_for_graph: Optional[Sequence[str]] = None):
+        self.label_for_graph = label_for_graph
         self.total_seconds = 0.0
         self.total_samples = 0
         self.per_batch: List[Dict[str, float]] = []
+        self.label_samples: Dict[str, int] = {}  # all batches
+        self.label_samples_warm: Dict[str, int] = {}  # batches > 0
+        self.warm_seconds = 0.0
+        self.warm_samples = 0
+        self.last_neighbor_overflow: Optional[Dict[str, float]] = None
 
-    def on_after_sample_batch(self, sample, sampler, elapsed_seconds: float = 0.0, **kwargs):
-        n_samples = sum(s.get("xhat_traj", np.zeros((0, 0))).shape[1] for s in sample)
+    def _label(self, s) -> str:
+        g = s.get("graph_index", 0)
+        if self.label_for_graph is not None and g < len(self.label_for_graph):
+            return str(self.label_for_graph[g])
+        return "all"
+
+    def on_after_sample_batch(
+        self, sample, sampler, elapsed_seconds: float = 0.0,
+        neighbor_overflow: Optional[Dict[str, float]] = None, **kwargs,
+    ):
+        first = not self.per_batch
+        n_samples = 0
+        for s in sample:
+            k = s.get("xhat_traj", np.zeros((0, 0))).shape[1]
+            n_samples += k
+            lbl = self._label(s)
+            self.label_samples[lbl] = self.label_samples.get(lbl, 0) + k
+            if not first:
+                self.label_samples_warm[lbl] = self.label_samples_warm.get(lbl, 0) + k
         self.total_seconds += elapsed_seconds
         self.total_samples += n_samples
+        if not first:
+            self.warm_seconds += elapsed_seconds
+            self.warm_samples += n_samples
         entry = {
             "batch_seconds": elapsed_seconds,
             "batch_samples": n_samples,
             "ms_per_sample": 1e3 * elapsed_seconds / max(n_samples, 1),
             "cumulative_ms_per_sample": 1e3 * self.total_seconds / max(self.total_samples, 1),
         }
+        if neighbor_overflow is not None:
+            entry["neighbor_overflow_mean"] = neighbor_overflow.get("mean", 0.0)
+            entry["neighbor_overflow_max"] = neighbor_overflow.get("max", 0)
+            self.last_neighbor_overflow = dict(neighbor_overflow)
         self.per_batch.append(entry)
         log.info("sampling time: %s", {k: round(v, 4) for k, v in entry.items()})
+
+    def rates(self) -> Dict[str, Dict[str, float]]:
+        """label -> {"time_per_sample_seconds" (warm), "..._incl_compile",
+        "samples"}. Per-label seconds = proportional share of each pool."""
+        use_warm = self.warm_samples > 0
+        pool_secs = self.warm_seconds if use_warm else self.total_seconds
+        pool_n = self.warm_samples if use_warm else self.total_samples
+        pool_labels = self.label_samples_warm if use_warm else self.label_samples
+        del pool_labels
+        # lockstep SPMD walk: every sample in a pool costs the same wall
+        # share, so the proportionally-attributed per-label rate equals the
+        # pooled rate — reported per label for the reference CSV layout, with
+        # per-label sample counts making the pooling explicit
+        warm_rate = pool_secs / max(pool_n, 1)
+        out: Dict[str, Dict[str, float]] = {}
+        for lbl, n_all in self.label_samples.items():
+            out[lbl] = {
+                "time_per_sample_seconds": warm_rate,
+                "time_per_sample_seconds_incl_compile": self.total_seconds
+                / max(self.total_samples, 1),
+                "samples": n_all,
+            }
+        return out

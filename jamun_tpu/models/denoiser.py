@@ -89,8 +89,12 @@ class Denoiser:
         return jnp.sqrt(self.config.max_radius**2 + 6.0 * jnp.asarray(sigma) ** 2)
 
     def xhat_normalized(
-        self, params, y: GraphBatch, sigma, training: bool = False
-    ) -> jnp.ndarray:
+        self, params, y: GraphBatch, sigma, training: bool = False,
+        with_telemetry: bool = False,
+    ):
+        """`with_telemetry=True` additionally returns a dict of sown arch
+        intermediates (today: "neighbor_overflow" [G] — edges dropped by the
+        sparse path's K cap, empty when the arch ran dense)."""
         D = y.pos.shape[-1]
         c_in, c_skip, c_out, c_noise = normalization_factors(
             sigma, self.config.average_squared_distance, D
@@ -98,22 +102,81 @@ class Denoiser:
         radial_cutoff = self.effective_radial_cutoff(sigma) / c_in
         y_scaled = y.replace_pos(y.pos * c_in)
         kw = {"training": True} if (training and self._arch_takes_training) else {}
+        if with_telemetry:
+            g_out, inter = self.arch.apply(
+                params, y_scaled, c_noise.reshape(-1), radial_cutoff,
+                mutable=["intermediates"], **kw,
+            )
+            sown = inter.get("intermediates", {})
+            tel = {
+                k: v[0] if isinstance(v, (tuple, list)) else v
+                for k, v in sown.items()
+            }
+            g_pos = irreps_to_vector(g_out)
+            return c_skip * y.pos + c_out * g_pos, tel
         g_out = self.arch.apply(params, y_scaled, c_noise.reshape(-1), radial_cutoff, **kw)
         g_pos = irreps_to_vector(g_out)
         return c_skip * y.pos + c_out * g_pos
 
-    def xhat(self, params, y: GraphBatch, sigma, training: bool = False) -> jnp.ndarray:
+    def xhat(
+        self, params, y: GraphBatch, sigma, training: bool = False,
+        with_telemetry: bool = False,
+    ):
         pos = y.pos
         if self.config.mean_center:
             pos = mean_center(pos, y.node_mask)
-        xhat_pos = self.xhat_normalized(params, y.replace_pos(pos), sigma, training=training)
+        tel = {}
+        if with_telemetry:
+            xhat_pos, tel = self.xhat_normalized(
+                params, y.replace_pos(pos), sigma, training=training, with_telemetry=True
+            )
+        else:
+            xhat_pos = self.xhat_normalized(params, y.replace_pos(pos), sigma, training=training)
         if self.config.mean_center:
             xhat_pos = mean_center(xhat_pos, y.node_mask)
-        return xhat_pos
+        return (xhat_pos, tel) if with_telemetry else xhat_pos
 
     def score(self, params, y: GraphBatch, sigma) -> jnp.ndarray:
         """score(y, sigma) = (xhat(y) - y) / sigma^2 — consumed by the Langevin walk."""
         return (self.xhat(params, y, sigma) - y.pos) / (jnp.asarray(sigma) ** 2)
+
+    # ---- sparse-cap telemetry (sampling side) ----
+
+    def sparse_neighbors_active(self, n_atoms: int, training: bool = False) -> bool:
+        """Static: True when the arch's neighbor_mode resolves to the sparse
+        capped-K path at this molecule size (the only path that drops edges)."""
+        mode = getattr(self.arch, "neighbor_mode", None)
+        if mode is None:
+            return False
+        if mode == "nbr":
+            return True
+        if mode == "auto":
+            from jamun_tpu.models.e3conv import neighbor_mode_auto
+
+            return neighbor_mode_auto(n_atoms, training)
+        return False
+
+    def neighbor_overflow(self, y: GraphBatch, sigma) -> jnp.ndarray:
+        """[G] int32: in-cutoff edges dropped by the sparse path's K cap at
+        these positions — the same geometry the arch's graph build sees
+        (mean-centered, c_in-scaled positions against cutoff/c_in, matching
+        `xhat_normalized`). Callers should gate on `sparse_neighbors_active`;
+        the dense path drops nothing by construction."""
+        from jamun_tpu.ops.neighbors import capped_neighbor_lists
+
+        c_in, _, _, _ = normalization_factors(
+            sigma, self.config.average_squared_distance, y.pos.shape[-1]
+        )
+        pos = y.pos
+        if self.config.mean_center:
+            pos = mean_center(pos, y.node_mask)
+        _, _, overflow = capped_neighbor_lists(
+            pos * c_in,
+            y.node_mask,
+            self.effective_radial_cutoff(sigma) / c_in,
+            int(getattr(self.arch, "neighbor_cap", 32)),
+        )
+        return overflow
 
     # ---- training path ----
 
@@ -135,8 +198,8 @@ class Denoiser:
 
     def noise_and_denoise(
         self, params, key, x: GraphBatch, sigma, align_noisy_input: bool,
-        training: bool = False,
-    ) -> Tuple[jnp.ndarray, GraphBatch, GraphBatch]:
+        training: bool = False, with_telemetry: bool = False,
+    ):
         if self.config.mean_center:
             x = x.replace_pos(mean_center(x.pos, x.node_mask))
         y = self.add_noise(key, x, sigma)
@@ -144,6 +207,9 @@ class Denoiser:
             y = y.replace_pos(mean_center(y.pos, y.node_mask))
         if align_noisy_input:
             y = y.replace_pos(kabsch_align(y.pos, x.pos, x.node_mask))
+        if with_telemetry:
+            xhat_pos, tel = self.xhat(params, y, sigma, training=training, with_telemetry=True)
+            return xhat_pos, y, x, tel
         xhat_pos = self.xhat(params, y, sigma, training=training)
         return xhat_pos, y, x
 
@@ -171,8 +237,15 @@ class Denoiser:
 
     def noise_and_compute_loss(
         self, params, key, x: GraphBatch, sigma, align_noisy_input: bool,
-        training: bool = False,
-    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        training: bool = False, with_telemetry: bool = False,
+    ):
+        if with_telemetry:
+            xhat_pos, _, x_centered, tel = self.noise_and_denoise(
+                params, key, x, sigma, align_noisy_input, training=training,
+                with_telemetry=True,
+            )
+            per_graph, aux = self.compute_loss(x_centered, xhat_pos, sigma)
+            return per_graph, aux, tel
         xhat_pos, _, x_centered = self.noise_and_denoise(
             params, key, x, sigma, align_noisy_input, training=training
         )
@@ -182,14 +255,23 @@ class Denoiser:
         """Scalar loss averaged over valid graphs (the pjit-differentiated fn).
 
         Passes training=True so the arch picks kernels with efficient
-        backwards (at N > 128 the XLA path — BENCH_NOTES round 3e)."""
-        per_graph, aux = self.noise_and_compute_loss(
+        backwards (at N > 128 the XLA path — BENCH_NOTES round 3e). Sown arch
+        telemetry (neighbor_overflow on the sparse path) is surfaced in aux
+        as mean/max over valid graphs so the Trainer's metrics.csv carries it
+        (VERDICT r4 #6 — IDRome users raising `neighbor_cap` need a logged
+        number to react to)."""
+        per_graph, aux, tel = self.noise_and_compute_loss(
             params, key, x, sigma, self.config.align_noisy_input_during_training,
-            training=True,
+            training=True, with_telemetry=True,
         )
         gm = x.graph_mask.astype(per_graph.dtype)
         denom = jnp.maximum(jnp.sum(gm), 1.0)
         loss = jnp.sum(per_graph * gm) / denom
         aux = {k: jnp.sum(v * gm) / denom for k, v in aux.items()}
+        ov = tel.get("neighbor_overflow")
+        if ov is not None:
+            ovf = ov.astype(loss.dtype)
+            aux["neighbor_overflow_mean"] = jnp.sum(ovf * gm) / denom
+            aux["neighbor_overflow_max"] = jnp.max(jnp.where(x.graph_mask, ovf, 0.0))
         aux["loss"] = loss
         return loss, aux

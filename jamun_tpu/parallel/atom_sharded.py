@@ -208,6 +208,16 @@ class AtomShardedArch:
         self.mesh = mesh
         self.axis_name = axis_name
 
+    @property
+    def neighbor_mode(self):
+        # sparse-cap telemetry dispatch (Denoiser.sparse_neighbors_active)
+        # follows the wrapped arch's neighbor settings
+        return getattr(self.arch, "neighbor_mode", None)
+
+    @property
+    def neighbor_cap(self):
+        return getattr(self.arch, "neighbor_cap", 32)
+
     # signature marker only: Denoiser inspects __call__ for the `training`
     # kernel-dispatch flag (models/denoiser.py) — apply() is the real entry
     def __call__(self, batch, c_noise, radial_cutoff, training: bool = False):
@@ -216,11 +226,18 @@ class AtomShardedArch:
     def init(self, key, batch, c_noise, cutoff):
         return self.arch.init(key, batch, c_noise, cutoff)
 
-    def apply(self, params, batch, c_noise, cutoff, training: bool = False):
-        return atom_sharded_forward(
+    def apply(self, params, batch, c_noise, cutoff, training: bool = False, mutable=None):
+        out = atom_sharded_forward(
             self.arch, self.mesh, params, batch, c_noise, cutoff,
             self.axis_name, training=training,
         )
+        if mutable:
+            # telemetry sows are not threaded through the shard_map'd forward
+            # (the intermediates collection would need its own out_specs);
+            # honor the flax (out, vars) contract with an empty collection —
+            # atom-sharded runs simply report no neighbor_overflow
+            return out, {}
+        return out
 
 
 def denoiser_with_atom_sharding(denoiser, mesh: Mesh, axis_name: str = "data"):

@@ -104,6 +104,18 @@ class Trainer:
 
         example = next(iter(datamodule.train_batches(0)))
 
+        if getattr(denoiser, "sparse_neighbors_active", None) and denoiser.sparse_neighbors_active(
+            example.max_nodes, training=True
+        ):
+            # the sparse path drops in-cutoff edges beyond the cap; the
+            # dropped-edge counts land in metrics.csv as
+            # train/neighbor_overflow_{mean,max} (VERDICT r4 #6)
+            log.info(
+                "sparse capped-neighbor path active: N=%d at/above the training "
+                "crossover (neighbor_cap=%d)",
+                example.max_nodes, int(getattr(denoiser.arch, "neighbor_cap", 32)),
+            )
+
         from jamun_tpu.parallel.atom_sharded import (
             denoiser_with_atom_sharding,
             pad_atoms_to_multiple,

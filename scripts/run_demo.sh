@@ -51,5 +51,23 @@ cp "runs/$KEY/checkpoints/manifest.json" "$ART/" 2>/dev/null || true
 cp runs/"$KEY"/analysis_*.json "$ART/" 2>/dev/null || true
 cp "$SAMP_DIR/sampling_times.csv" "$ART/" 2>/dev/null || true
 for f in "$SAMP_DIR"/metrics*.csv; do [ -f "$f" ] && cp "$f" "$ART/sampler_$(basename "$f")"; done
+cat > "$ART/README.md" <<EOF
+# Demo artifacts ($KEY)
+
+Snapshotted from a local \`runs/$KEY/\` demo run (\`scripts/run_demo.sh $KEY\`).
+NOTE: \`path\` entries inside manifest.json are LOCAL run paths — \`runs/\` is
+gitignored, so they identify which checkpoint each val/loss row belongs to
+but do not resolve in a fresh checkout (the checkpoints themselves are not
+committed; re-run the demo script to regenerate them).
+
+- metrics.csv — training metrics (loss/val curves)
+- manifest.json — top-k checkpoint registry (val/loss per step)
+- sampling_times.csv — per-label rates; \`time_per_sample_seconds\` is the
+  WARM (compile-excluded) rate used for speed-matched analysis budgets;
+  \`*_incl_compile\` includes the first batch's compile
+- analysis_{AG,SV}.json — torsion/TICA/MSM JSDs vs the synthetic reference
+- analysis_{AG,SV}_benchmark.json — speed-matched equal-wall-clock rerun
+  (annotated + skipped if the budget saturates the full reference)
+EOF
 ls -la "$ART"
 echo "=== DONE ==="
