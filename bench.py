@@ -263,7 +263,7 @@ def extra_size_metrics():
         if "--only" in sys.argv and sys.argv[sys.argv.index("--only") + 1] != label:
             continue
         arch = E3Conv(
-            tensor_product="uvu", dtype=jnp.bfloat16, use_pallas=mode != "nbr",
+            tensor_product="uvu", dtype=jnp.bfloat16, use_pallas=True,
             fused_stack=mode == "stack",
         )
         den = Denoiser(arch, DenoiserConfig(max_radius=1.0, average_squared_distance=0.5))
@@ -282,12 +282,23 @@ def extra_size_metrics():
                        save_every_n_steps=1, score_fn_clip=100.0)
         )
 
+        # sparse regime: Verlet-cached neighbor lists (skin 1.0 nm, rebuild on
+        # the skin/2 displacement trigger) — the production sampling config
+        cached = (
+            den.make_neighbor_cached_score(params, batch, SIGMA, 1.0)
+            if mode == "nbr"
+            else None
+        )
+
         @jax.jit
-        def walk_jump(params, y0, key, den=den, batch=batch, mcmc=mcmc, mask=mask):
+        def walk_jump(params, y0, key, den=den, batch=batch, mcmc=mcmc, mask=mask,
+                      cached=cached):
             def score_fn(y):
                 return den.score(params, batch.replace_pos(y), SIGMA)
 
-            y, v, y_traj, score_traj = mcmc(key, y0, score_fn, v_init="gaussian", mask=mask)
+            y, v, y_traj, score_traj = mcmc(
+                key, y0, score_fn, v_init="gaussian", mask=mask, cached_score=cached
+            )
             return y, y_traj + (SIGMA**2) * score_traj
 
         y0 = batch.pos + SIGMA * jax.random.normal(

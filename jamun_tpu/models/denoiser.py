@@ -69,11 +69,12 @@ class Denoiser:
         import inspect
 
         try:
-            self._arch_takes_training = "training" in inspect.signature(
-                type(arch).__call__
-            ).parameters
+            arch_params = inspect.signature(type(arch).__call__).parameters
+            self._arch_takes_training = "training" in arch_params
+            self._arch_takes_nbr_cache = "nbr_cache" in arch_params
         except (TypeError, ValueError):
             self._arch_takes_training = False
+            self._arch_takes_nbr_cache = False
 
     # ---- init ----
 
@@ -90,7 +91,7 @@ class Denoiser:
 
     def xhat_normalized(
         self, params, y: GraphBatch, sigma, training: bool = False,
-        with_telemetry: bool = False,
+        with_telemetry: bool = False, nbr_cache=None,
     ):
         """`with_telemetry=True` additionally returns a dict of sown arch
         intermediates (today: "neighbor_overflow" [G] — edges dropped by the
@@ -102,6 +103,8 @@ class Denoiser:
         radial_cutoff = self.effective_radial_cutoff(sigma) / c_in
         y_scaled = y.replace_pos(y.pos * c_in)
         kw = {"training": True} if (training and self._arch_takes_training) else {}
+        if nbr_cache is not None and self._arch_takes_nbr_cache:
+            kw["nbr_cache"] = nbr_cache
         if with_telemetry:
             g_out, inter = self.arch.apply(
                 params, y_scaled, c_noise.reshape(-1), radial_cutoff,
@@ -120,7 +123,7 @@ class Denoiser:
 
     def xhat(
         self, params, y: GraphBatch, sigma, training: bool = False,
-        with_telemetry: bool = False,
+        with_telemetry: bool = False, nbr_cache=None,
     ):
         pos = y.pos
         if self.config.mean_center:
@@ -131,7 +134,9 @@ class Denoiser:
                 params, y.replace_pos(pos), sigma, training=training, with_telemetry=True
             )
         else:
-            xhat_pos = self.xhat_normalized(params, y.replace_pos(pos), sigma, training=training)
+            xhat_pos = self.xhat_normalized(
+                params, y.replace_pos(pos), sigma, training=training, nbr_cache=nbr_cache
+            )
         if self.config.mean_center:
             xhat_pos = mean_center(xhat_pos, y.node_mask)
         return (xhat_pos, tel) if with_telemetry else xhat_pos
@@ -177,6 +182,48 @@ class Denoiser:
             int(getattr(self.arch, "neighbor_cap", 32)),
         )
         return overflow
+
+    def make_neighbor_cached_score(self, params, batch: GraphBatch, sigma, skin: float):
+        """Verlet-cached score for the walk (`sampling/mcmc.NeighborCachedScore`).
+
+        `skin` is in model-space nm (the walk's y coordinates). The cached
+        list is the capped-K nearest within (effective cutoff + skin) built on
+        the same geometry the arch's graph build sees (c_in-scaled positions
+        vs cutoff/c_in — matching `xhat_normalized`; pairwise distances are
+        translation-invariant so mean-centering is irrelevant here). Returns
+        None when the arch will not run the sparse path at this size (the
+        dense path builds no per-step lists to amortize) or skin <= 0.
+
+        This replaces the reference's per-forward `radius_graph`
+        (`/root/reference/src/jamun/model/denoiser.py:149`) with the MD-native
+        Verlet-list scheme: rebuild only when some atom moved > skin/2."""
+        N = batch.pos.shape[1]
+        if skin <= 0 or not self.sparse_neighbors_active(N):
+            return None
+        if not self._arch_takes_nbr_cache:
+            return None
+        from jamun_tpu.ops.neighbors import capped_neighbor_lists
+        from jamun_tpu.sampling.mcmc import NeighborCachedScore
+
+        cap = int(getattr(self.arch, "neighbor_cap", 32))
+        c_in, _, _, _ = normalization_factors(
+            sigma, self.config.average_squared_distance, batch.pos.shape[-1]
+        )
+        cutoff_s = self.effective_radial_cutoff(sigma) / c_in
+
+        def rebuild(y):
+            idx, sup_mask, _overflow = capped_neighbor_lists(
+                y * c_in, batch.node_mask, cutoff_s + skin * c_in, cap
+            )
+            return (idx, sup_mask)
+
+        def score(y, cache):
+            yb = batch.replace_pos(y)
+            return (self.xhat(params, yb, sigma, nbr_cache=cache) - y) / (
+                jnp.asarray(sigma) ** 2
+            )
+
+        return NeighborCachedScore(rebuild=rebuild, score=score, threshold=skin / 2.0)
 
     # ---- training path ----
 

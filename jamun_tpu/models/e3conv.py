@@ -74,6 +74,7 @@ class _HiddenLayer(nn.Module):
     dtype: Any
     use_pallas: bool
     pallas_variant: str = "packed"
+    nbr_kernel: bool = False
     atom_axis: str = None
     transposed: bool = False
 
@@ -92,6 +93,7 @@ class _HiddenLayer(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_variant=self.pallas_variant,
+            nbr_kernel=self.nbr_kernel,
             atom_axis=self.atom_axis,
         )(scaled, edges, transposed_in=self.transposed, transposed_out=self.transposed)
         out = NoiseConditionalSkipConnection(irreps_hidden)(
@@ -152,6 +154,7 @@ class E3Conv(nn.Module):
         c_noise: jnp.ndarray,
         radial_cutoff: jnp.ndarray,
         training: bool = False,
+        nbr_cache=None,
     ) -> jnp.ndarray:
         """batch.pos are the *scaled* noisy positions (c_in * y). Returns the
         per-atom output irreps array; for irreps_out="1x1e" use
@@ -159,7 +162,13 @@ class E3Conv(nn.Module):
 
         `training`: the call will be differentiated — choose kernels whose
         BACKWARD is efficient. Static per trace, so bucketed training mixes
-        paths per batch shape (gen-3 kernels at N <= 128, XLA above)."""
+        paths per batch shape (gen-3 kernels at N <= 128, XLA above).
+
+        `nbr_cache`: optional (nbr_idx, superset_mask) Verlet-cached neighbor
+        lists from the walk (`sampling/mcmc.NeighborCachedScore`) — only
+        meaningful when the sparse path is active; the O(N^2) per-forward
+        list build is skipped and the true-cutoff mask is re-derived from
+        current positions."""
         irreps_hidden = Irreps(self.irreps_hidden)
         irreps_sh = Irreps(self.irreps_sh)
         irreps_out = Irreps(self.irreps_out)
@@ -179,7 +188,6 @@ class E3Conv(nn.Module):
         # inside Conv)
         src_pos = src_mask = dst_index = None
         if self.atom_axis is not None:
-            import jax
 
             src_pos = jax.lax.all_gather(batch.pos, self.atom_axis, axis=1, tiled=True)
             src_mask = jax.lax.all_gather(batch.node_mask, self.atom_axis, axis=1, tiled=True)
@@ -197,31 +205,103 @@ class E3Conv(nn.Module):
         nbr_on = self.neighbor_mode == "nbr" or (
             self.neighbor_mode == "auto" and neighbor_mode_auto(N_atoms_total, training)
         )
+        nbr_kernel = False
         if nbr_on:
             # sparse capped-neighbor edges (ops/neighbors.py): only the
             # [G, N, K] kept-edge features are materialized; every dense
             # [N, N] path (incl. the Pallas kernels) is bypassed
             from jamun_tpu.ops.neighbors import neighbor_edge_data
 
-            edges, nbr_overflow = neighbor_edge_data(
-                batch.pos,
-                batch.node_mask,
-                batch.bond_src,
-                batch.bond_dst,
-                batch.bond_mask,
-                radial_cutoff,
-                sh_fn=functools.partial(spherical_harmonics, irreps_sh),
-                attr_fn=attr_fn,
-                cap=self.neighbor_cap,
-                bond0_embed=bond_embed[0],
-                bond1_embed=bond_embed[1],
-                src_pos=src_pos,
-                src_mask=src_mask,
-                dst_index=dst_index,
+            import os
+
+            nbr_kernel = (
+                self.use_pallas
+                and not training
+                and self.atom_axis is None
+                and os.environ.get("JAMUN_NBR_KERNEL", "1") != "0"
             )
+            _ihid = list(irreps_hidden)
+            _Sh = _ihid[0].mul
+            _Vh = _ihid[1].mul if len(_ihid) > 1 else 0
+            # The Pallas edge-features kernel measured as a NEGATIVE on v5e at
+            # N=1024 (walk 5.47-5.62 ms/step vs 5.27 with the XLA cached
+            # edge-feature stage — XLA fuses the cached-list gather + sh +
+            # radial well; BENCH_NOTES round 5a). Kept behind an env flag for
+            # re-probing on other shapes/backends.
+            if (
+                nbr_cache is not None
+                and nbr_kernel
+                and os.environ.get("JAMUN_NBR_GEOM_KERNEL", "0") == "1"
+            ):
+                from jamun_tpu.ops.pallas.nbr_conv import (
+                    nbr_edge_features,
+                    supports_nbr_conv,
+                )
+
+                geom_ok = supports_nbr_conv(
+                    _Sh, _Vh, irreps_sh.dim, self.edge_attr_dim, self.edge_attr_dim,
+                    int(nbr_cache[0].shape[-1]),
+                )
+            else:
+                geom_ok = False
+            if geom_ok:
+                # cached-list kernel path: ONE edge-features kernel per
+                # forward (block-sparse pos gather + sh + radial basis +
+                # true-cutoff mask in VMEM) feeding the per-layer conv
+                # kernels; attr is the radial half only — Conv folds the
+                # constant bondedness block into the radial-MLP bias
+                sh_nbr, rad_nbr, mask_f, idxf = nbr_edge_features(
+                    batch.pos,
+                    nbr_cache[0],
+                    nbr_cache[1],
+                    radial_cutoff,
+                    n_radial=radial_dim,
+                    interpret=jax.default_backend() not in ("tpu", "axon"),
+                    compute_dtype=self.dtype,
+                )
+                edges = dense_edge_data(
+                    batch.pos,
+                    batch.node_mask,
+                    batch.bond_src,
+                    batch.bond_dst,
+                    batch.bond_mask,
+                    radial_cutoff,
+                    sh_fn=functools.partial(spherical_harmonics, irreps_sh),
+                    attr_fn=attr_fn,
+                    dense=False,
+                    bond0_embed=bond_embed[0],
+                    bond1_embed=bond_embed[1],
+                ).replace(
+                    nbr_idx=idxf, nbr_mask=mask_f, sh_nbr=sh_nbr, attr_nbr=rad_nbr
+                )
+                nbr_overflow = None
+            else:
+                edges, nbr_overflow = neighbor_edge_data(
+                    batch.pos,
+                    batch.node_mask,
+                    batch.bond_src,
+                    batch.bond_dst,
+                    batch.bond_mask,
+                    radial_cutoff,
+                    sh_fn=functools.partial(spherical_harmonics, irreps_sh),
+                    attr_fn=attr_fn,
+                    cap=self.neighbor_cap,
+                    bond0_embed=bond_embed[0],
+                    bond1_embed=bond_embed[1],
+                    src_pos=src_pos,
+                    src_mask=src_mask,
+                    dst_index=dst_index,
+                    cache=nbr_cache,
+                )
             # cap telemetry (edges dropped per graph); retrieve via
-            # `capture_intermediates`/mutable, reported by the bench harness
-            self.sow("intermediates", "neighbor_overflow", nbr_overflow)
+            # `capture_intermediates`/mutable, reported by the bench harness.
+            # Cached-list mode counts overflow at rebuild time (in the walk),
+            # not here. The fused sparse-conv kernel (ops/pallas/nbr_conv.py)
+            # is forward-only — differentiated calls keep the XLA sparse path;
+            # kill switch JAMUN_NBR_KERNEL=0 (runtime fallback stays
+            # `step_with_fallback`).
+            if nbr_overflow is not None:
+                self.sow("intermediates", "neighbor_overflow", nbr_overflow)
         else:
             # dense edge features for the XLA paths (unused ones are DCE'd by XLA)
             edges = dense_edge_data(
@@ -288,7 +368,6 @@ class E3Conv(nn.Module):
             # once. N <= 128 (gen-3 kernel): lane-packed edge features;
             # N > 128 (gen-4 tiled kernel): position rows + bond features —
             # the dense-pair geometry is rebuilt in-kernel per dst block.
-            import jax
 
             if N_atoms <= 128:
                 from jamun_tpu.ops.pallas.packed_conv import packed_edge_features
@@ -378,6 +457,7 @@ class E3Conv(nn.Module):
             # the lane-packed kernel (and the SoA fast path) handle V = 0
             use_pallas=use_pallas,
             pallas_variant=self.pallas_variant,
+            nbr_kernel=nbr_kernel,
             atom_axis=self.atom_axis,
         )(node_attr, edges, transposed_out=chained)
 
@@ -389,6 +469,7 @@ class E3Conv(nn.Module):
             dtype=self.dtype,
             use_pallas=use_pallas,
             pallas_variant=self.pallas_variant,
+            nbr_kernel=nbr_kernel,
             atom_axis=self.atom_axis,
             transposed=chained,
         )

@@ -45,6 +45,9 @@ class Conv(nn.Module):
     pallas_variant: str = "packed"  # "packed" (lane-packed [N*N, C]) | "plane" ([N, N, C])
     pallas_graphs_per_program: int = 1  # plane-kernel tiling: graphs per grid program
     fast_path: bool = True  # SoA component-plane XLA path for l<=1 uvu
+    nbr_kernel: bool = False  # fused Pallas kernel for the sparse capped-
+    # neighbor path (ops/pallas/nbr_conv.py) — forward-only; the caller
+    # (E3Conv) gates on `training` so differentiated calls keep XLA
     atom_axis: Optional[str] = None  # shard_map axis name for atom-sharded mode
     # (SURVEY 5.7): node features are all-gathered per layer (the halo) and
     # messages computed into this shard's local dst rows
@@ -141,6 +144,34 @@ class Conv(nn.Module):
             mi.ir.l == 0 for mi in irreps_out
         )
 
+    def _nbr_kernel_supported(self, edges: EdgeData) -> bool:
+        """Fused sparse-conv kernel (ops/pallas/nbr_conv.py): l<=1 separable
+        shapes only, forward-only (callers gate on `training` via the
+        `nbr_kernel` field), single-shard (no atom halo)."""
+        if not (
+            self.nbr_kernel
+            and self.tensor_product == "uvu"
+            and self.atom_axis is None
+            and not self.is_initializing()
+            and edges.sh_nbr is not None
+            and edges.attr_nbr is not None
+        ):
+            return False
+        sv = self._sv_shape()
+        if sv is None:
+            return False
+        from jamun_tpu.ops.pallas.nbr_conv import supports_nbr_conv
+
+        shapes_ok = self.radial_hidden is None or list(self.radial_hidden) == [self.edge_attr_dim]
+        return shapes_ok and supports_nbr_conv(
+            sv[0],
+            sv[1],
+            Irreps(self.irreps_sh).dim,
+            self.edge_attr_dim,
+            self.edge_attr_dim,
+            edges.nbr_idx.shape[-1],
+        )
+
     def _fast_uvu_supported(self) -> bool:
         irreps_sh = Irreps(self.irreps_sh)
         return (
@@ -168,17 +199,61 @@ class Conv(nn.Module):
             # --- sparse capped-neighbor path (ops/neighbors.py): O(N*K)
             # message work; the right algorithm once the dense panel's fill
             # factor collapses (large molecules, train_idrome regime) ---
-            w_nbr = self.radial_nn(edges.attr_nbr.astype(cdt))  # [G, N, K, wn]
-            if self._fast_uvu_supported():
-                from jamun_tpu.ops.fast_uvu import fast_uvu_messages_nbr
+            if self._nbr_kernel_supported(edges):
+                # fused VMEM kernel: radial MLP + one-hot feature gather +
+                # messages + K-sum in one program (the XLA row-gather alone
+                # measured 1.3-1.5 ms at N=1024 — BENCH_NOTES round 5a)
+                from jamun_tpu.ops.pallas.nbr_conv import nbr_uvu_conv
 
                 S, V = self._sv_shape()
+                rp = self.radial_nn.variables["params"]
+                w1 = rp["Dense_0"]["kernel"]
+                b1 = rp["Dense_0"]["bias"]
+                if edges.attr_nbr.shape[-1] != w1.shape[0]:
+                    # radial-only attr from the edge-features kernel
+                    # (nbr_edge_features): fold the constant bondedness-0
+                    # embedding block into the bias, full precision (the
+                    # dense kernels' trick — see fused_conv.py)
+                    nb = w1.shape[0] - edges.attr_nbr.shape[-1]
+                    b1 = b1 + jnp.einsum(
+                        "i,ij->j",
+                        edges.bond0_embed.astype(jnp.float32),
+                        w1[:nb].astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    w1 = w1[nb:]
+                out, deg = nbr_uvu_conv(
+                    src_attr_full,
+                    edges.sh_nbr,
+                    edges.attr_nbr,
+                    edges.nbr_idx,
+                    edges.nbr_mask,
+                    w1,
+                    b1,
+                    rp["Dense_1"]["kernel"],
+                    rp["Dense_1"]["bias"],
+                    S=S,
+                    V=V,
+                    interpret=jax.default_backend() not in ("tpu", "axon"),
+                    compute_dtype=self.dtype,
+                )
+            elif self._fast_uvu_supported():
+                from jamun_tpu.ops.fast_uvu import fast_uvu_messages_nbr
+
+                if edges.attr_nbr.shape[-1] != self.edge_attr_dim:
+                    raise RuntimeError(
+                        "radial-only neighbor features (nbr_edge_features) "
+                        "require the nbr kernel path — dispatch mismatch"
+                    )
+                S, V = self._sv_shape()
+                w_nbr = self.radial_nn(edges.attr_nbr.astype(cdt))  # [G, N, K, wn]
                 out, deg = fast_uvu_messages_nbr(
                     src_attr_full, edges.sh_nbr, w_nbr, edges.nbr_idx, edges.nbr_mask, S=S, V=V,
                 )
             else:
                 from jamun_tpu.ops.neighbors import gather_neighbors
 
+                w_nbr = self.radial_nn(edges.attr_nbr.astype(cdt))  # [G, N, K, wn]
                 src_nbr = gather_neighbors(src_attr_full, edges.nbr_idx).astype(cdt)
                 msg = self.tp(src_nbr, edges.sh_nbr.astype(cdt), w_nbr)  # [G, N, K, out]
                 out = jnp.einsum(
@@ -328,6 +403,7 @@ class ConvBlock(nn.Module):
     dtype: Any = None
     use_pallas: bool = False
     pallas_variant: str = "packed"
+    nbr_kernel: bool = False
     atom_axis: Optional[str] = None
 
     @nn.compact
@@ -354,6 +430,7 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_variant=self.pallas_variant,
+            nbr_kernel=self.nbr_kernel,
             atom_axis=self.atom_axis,
         )
 

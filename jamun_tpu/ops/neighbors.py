@@ -93,21 +93,36 @@ def neighbor_edge_data(
     src_pos: Optional[jnp.ndarray] = None,
     src_mask: Optional[jnp.ndarray] = None,
     dst_index: Optional[jnp.ndarray] = None,
+    cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
     """Sparse analog of `dense_edge_data`: EdgeData with the per-neighbor
     fields populated (sh/attr computed only for the [G, N, K] kept edges) and
     the dense [N, N] feature fields left None. Returns (EdgeData, overflow).
-    """
+
+    `cache` = (nbr_idx, superset_mask): a Verlet-style cached list built
+    within (cutoff + skin) by the walk (`sampling/mcmc.NeighborCachedScore`).
+    The O(N^2) build + top_k is skipped; membership comes from the cache and
+    the TRUE-cutoff mask is re-evaluated from the current edge lengths, so
+    in-cutoff semantics stay exact while the list is valid. overflow is None
+    in this mode (counted at rebuild time by the walk)."""
     from jamun_tpu.ops.graph import dense_edge_data
 
-    nbr_idx, nbr_mask, overflow = capped_neighbor_lists(
-        pos, node_mask, radial_cutoff, cap,
-        src_pos=src_pos, src_mask=src_mask, dst_index=dst_index,
-    )
+    if cache is not None:
+        nbr_idx, sup_mask = cache
+        overflow = None
+    else:
+        nbr_idx, nbr_mask, overflow = capped_neighbor_lists(
+            pos, node_mask, radial_cutoff, cap,
+            src_pos=src_pos, src_mask=src_mask, dst_index=dst_index,
+        )
     sp = src_pos if src_pos is not None else pos
     pos_nbr = gather_neighbors(sp, nbr_idx)  # [G, N, K, 3]
     edge_vec = pos_nbr - pos[:, :, None, :]
     edge_len = jnp.linalg.norm(edge_vec + 1e-12, axis=-1)
+    if cache is not None:
+        # membership from the cached (cutoff + skin) list; exactness from the
+        # per-step true-cutoff mask
+        nbr_mask = (sup_mask > 0) & (edge_len < radial_cutoff)
     sh_nbr = sh_fn(edge_vec)
     attr_nbr = attr_fn(edge_len, bonded=False)
 

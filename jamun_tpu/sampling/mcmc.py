@@ -25,27 +25,79 @@ from typing import Callable, Optional, Union
 import jax
 import jax.numpy as jnp
 
-__all__ = ["MCMCConfig", "BAOAB", "ABOBA", "make_processed_score_fn", "initialize_velocity"]
+__all__ = [
+    "MCMCConfig",
+    "BAOAB",
+    "ABOBA",
+    "NeighborCachedScore",
+    "make_processed_score_fn",
+    "initialize_velocity",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class NeighborCachedScore:
+    """Verlet-list-style cached-neighbor score for the sparse execution path.
+
+    The MD-native amortization of graph construction (the role torch_cluster's
+    per-forward `radius_graph` plays in the reference, `denoiser.py:149`):
+    `rebuild(y)` builds a capped neighbor list within (cutoff + skin);
+    `score(y, cache)` evaluates the denoiser score against the CACHED list
+    (edge geometry from current positions, list membership from the cache,
+    true-cutoff masking per step). The list stays a superset of all in-cutoff
+    pairs as long as no atom moved more than skin/2 since the rebuild — the
+    walk rebuilds exactly when `max_i ||y_i - y_i^ref|| > threshold`
+    (threshold = skin/2, the classic Verlet criterion), so per-step cost drops
+    from O(N^2)+top_k to O(N*K) with cutoff-exact semantics (modulo the K cap
+    that both paths share)."""
+
+    rebuild: Callable  # y [G, N, 3] -> cache pytree
+    score: Callable    # (y, cache) -> score [G, N, 3]
+    threshold: float   # rebuild when max per-atom displacement exceeds this
 
 
 def make_processed_score_fn(
     score_fn: Callable,
     inverse_temperature: float = 1.0,
     score_fn_clip: Optional[float] = None,
+    cached: Optional[NeighborCachedScore] = None,
 ):
-    """Clip the score by per-atom norm and scale by inverse temperature.
-    Returns (processed_score, original_score). Reference `_splitting.py:26-41`."""
+    """Clip the score by per-atom norm and scale by inverse temperature,
+    threading the neighbor-cache state when `cached` is given.
+    Returns processed(y, aux) -> (processed_score, original_score, aux).
+    Reference `_splitting.py:26-41` (the aux plumbing has no reference
+    counterpart — the reference rebuilds its graph every forward)."""
 
-    def processed(y):
-        orig = score_fn(y)
+    def clip_scale(orig):
         score = orig
         if score_fn_clip is not None:
             norm = jnp.linalg.norm(score, axis=-1, keepdims=True)
             clip = jnp.minimum(norm, score_fn_clip)
             score = score / jnp.maximum(norm, 1e-20) * clip
-        return score * inverse_temperature, orig
+        return score * inverse_temperature
 
-    return processed
+    if cached is None:
+
+        def processed(y, aux=None):
+            orig = score_fn(y)
+            return clip_scale(orig), orig, aux
+
+        return processed
+
+    thr2 = float(cached.threshold) ** 2
+
+    def processed_cached(y, aux):
+        cache, y_ref = aux
+        disp2 = jnp.max(jnp.sum((y - y_ref) ** 2, axis=-1))
+        cache, y_ref = jax.lax.cond(
+            disp2 > thr2,
+            lambda: (cached.rebuild(y), y),
+            lambda: (cache, y_ref),
+        )
+        orig = cached.score(y, cache)
+        return clip_scale(orig), orig, (cache, y_ref)
+
+    return processed_cached
 
 
 def initialize_velocity(v_init, y: jnp.ndarray, u: float, key) -> jnp.ndarray:
@@ -102,15 +154,22 @@ class _SplittingSampler:
         score_fn: Callable,
         v_init: Union[str, jnp.ndarray] = "zero",
         mask: Optional[jnp.ndarray] = None,
+        cached_score: Optional[NeighborCachedScore] = None,
     ):
         """Run the walk. y: positions [..., 3]; score_fn: y -> score (same shape);
-        mask: optional multiplicative noise mask (e.g. node padding).
+        mask: optional multiplicative noise mask (e.g. node padding);
+        cached_score: Verlet-cached neighbor lists for the sparse path — the
+        walk then carries (cache, y_ref) and rebuilds on the displacement
+        trigger instead of rebuilding the graph every score call.
 
         Returns (y, v, y_traj, score_traj) with trajectories stacked on axis 0
         ([n_saves, ...]), mirroring `baoab(...)`'s return signature.
         """
         cfg = self.config
-        processed = make_processed_score_fn(score_fn, cfg.inverse_temperature, cfg.score_fn_clip)
+        processed = make_processed_score_fn(
+            score_fn, cfg.inverse_temperature, cfg.score_fn_clip, cached=cached_score
+        )
+        aux0 = (cached_score.rebuild(y), y) if cached_score is not None else None
         key, vkey = jax.random.split(key)
         v = initialize_velocity(v_init, y, cfg.u, vkey)
         if mask is not None:
@@ -124,7 +183,7 @@ class _SplittingSampler:
             r = jax.random.normal(key, shape, dtype)
             return r * mask if mask is not None else r
 
-        carry = self._init_carry(y, v, processed)
+        carry = self._init_carry(y, v, processed, aux0)
 
         def one_step(carry, key):
             return self._step(carry, key, processed, cfg, damp, zeta2, sqrt_u, noise), None
@@ -181,7 +240,7 @@ class _SplittingSampler:
             # frame at absolute step first_save: initial state when burn_in==0,
             # else the post-burn-in carry (first on-grid step past burn-in)
             if first_save == 0:
-                f0, s0 = y, self._initial_score(y, processed)
+                f0, s0 = y, self._initial_score(y, processed, aux0)
             else:
                 f0, s0 = self._get_y(carry0), self._get_score(carry0)
             y_traj = jnp.concatenate([f0[None], y_traj], axis=0)
@@ -195,25 +254,25 @@ class _SplittingSampler:
 class BAOAB(_SplittingSampler):
     """BAOAB splitting (Leimkuhler-Matthews §7.3); reference `_splitting.py:112-180`."""
 
-    def _init_carry(self, y, v, processed):
-        psi, orig = processed(y)
-        return (y, v, psi, orig)
+    def _init_carry(self, y, v, processed, aux0=None):
+        psi, orig, aux = processed(y, aux0)
+        return (y, v, psi, orig, aux)
 
-    def _initial_score(self, y, processed):
-        return processed(y)[1]
+    def _initial_score(self, y, processed, aux0=None):
+        return processed(y, aux0)[1]
 
     @staticmethod
     def _step(carry, key, processed, cfg, damp, zeta2, sqrt_u, noise):
-        y, v, psi, _ = carry
+        y, v, psi, _, aux = carry
         d2 = cfg.delta / 2.0
         v = v + cfg.u * d2 * psi  # B
         y = y + d2 * v  # A
         R = noise(key, y.shape, y.dtype)
         vhat = damp * v + zeta2 * sqrt_u * R  # O
         y = y + d2 * vhat  # A
-        psi, orig = processed(y)
+        psi, orig, aux = processed(y, aux)
         v = vhat + d2 * psi  # B
-        return (y, v, psi, orig)
+        return (y, v, psi, orig, aux)
 
     @staticmethod
     def _get_y(carry):
@@ -231,24 +290,24 @@ class BAOAB(_SplittingSampler):
 class ABOBA(_SplittingSampler):
     """ABOBA splitting; reference `_splitting.py:44-109`."""
 
-    def _init_carry(self, y, v, processed):
-        return (y, v, jnp.zeros_like(y))
+    def _init_carry(self, y, v, processed, aux0=None):
+        return (y, v, jnp.zeros_like(y), aux0)
 
-    def _initial_score(self, y, processed):
-        return processed(y)[1]
+    def _initial_score(self, y, processed, aux0=None):
+        return processed(y, aux0)[1]
 
     @staticmethod
     def _step(carry, key, processed, cfg, damp, zeta2, sqrt_u, noise):
-        y, v, _ = carry
+        y, v, _, aux = carry
         d2 = cfg.delta / 2.0
         y = y + d2 * v  # A
-        psi, orig = processed(y)
+        psi, orig, aux = processed(y, aux)
         v = v + cfg.u * d2 * psi  # B
         R = noise(key, y.shape, y.dtype)
         vhat = damp * v + zeta2 * sqrt_u * R  # O
         v = vhat + d2 * psi  # B
         y = y + d2 * v  # A
-        return (y, v, orig)
+        return (y, v, orig, aux)
 
     @staticmethod
     def _get_y(carry):

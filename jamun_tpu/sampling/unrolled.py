@@ -39,7 +39,7 @@ class UnrolledBAOAB:
 
         @jax.jit
         def chunk(y, v, key):
-            psi, _ = processed(y)
+            psi, _, _ = processed(y)
             frames = []
             for i in range(self.chunk_steps):
                 key, sub = jax.random.split(key)
@@ -50,7 +50,7 @@ class UnrolledBAOAB:
                     R = R * mask
                 vhat = damp * v + zeta2 * sqrt_u * R  # O
                 y = y + d2 * vhat  # A
-                psi, _ = processed(y)
+                psi, _, _ = processed(y)
                 v = vhat + d2 * psi  # B
                 frames.append(y)
             return y, v, jnp.stack(frames)

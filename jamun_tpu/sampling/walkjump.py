@@ -42,6 +42,11 @@ class SingleMeasurementSampler:
     jump_chunk_size: int = 0  # 0 = jump all frames at once
     fused_jump: bool = True  # reuse walk scores for the trajectory jump (BAOAB)
     offload_chunk_steps: int = 0  # >0: drain saved frames to host every N steps
+    neighbor_skin: float = 0.0  # >0: Verlet-cached neighbor lists for the
+    # sparse execution path — the walk carries a (cutoff + skin) capped list
+    # and rebuilds it only when some atom moved > skin/2 (model-space nm),
+    # instead of the O(N^2) build + top_k every score call. No-op when the
+    # denoiser runs the dense path at this molecule size.
 
     def walk(self, denoiser, params, init_graphs: GraphBatch, key, y_init, v_init="gaussian"):
         mask = init_graphs.node_mask[..., None].astype(y_init.dtype)
@@ -49,7 +54,14 @@ class SingleMeasurementSampler:
         def score_fn(y):
             return denoiser.score(params, init_graphs.replace_pos(y), self.sigma)
 
-        y, v, y_traj, score_traj = self.mcmc(key, y_init, score_fn, v_init=v_init, mask=mask)
+        cached = None
+        if self.neighbor_skin > 0 and hasattr(denoiser, "make_neighbor_cached_score"):
+            cached = denoiser.make_neighbor_cached_score(
+                params, init_graphs, self.sigma, self.neighbor_skin
+            )
+        y, v, y_traj, score_traj = self.mcmc(
+            key, y_init, score_fn, v_init=v_init, mask=mask, cached_score=cached
+        )
         return {"y": y, "v": v, "y_traj": y_traj, "score_traj": score_traj}
 
     def walk_jump(self, denoiser, params, init_graphs: GraphBatch, key, y_init, v_init="gaussian"):

@@ -110,7 +110,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1024")
     ap.add_argument("--reps", type=int, default=30)
-    ap.add_argument("--components", default="nbrbuild,nbrbuild2,nbrbuild3,edgefeat,msg1,score,walkstep")
+    ap.add_argument("--skin", type=float, default=1.0, help="Verlet skin (nm) for walkstepc/walkstepkc")
+    ap.add_argument(
+        "--components",
+        default="nbrbuild,nbrbuild2,nbrbuild3,edgefeat,msg1,msg1k,score,scorek,walkstep,walkstepk",
+    )
     args = ap.parse_args()
     comps = args.components.split(",")
 
@@ -176,7 +180,7 @@ def main():
 
             results["nbrbuild3"] = chained(nb3_step, pos_s, args.reps)
 
-        if "edgefeat" in comps or "msg1" in comps:
+        if any(c in comps for c in ("edgefeat", "msg1", "msg1k", "msg1kng")):
             from jamun_tpu.ops.irreps import Irreps
             from jamun_tpu.ops.neighbors import gather_neighbors, neighbor_edge_data
             from jamun_tpu.ops.radial import soft_one_hot_linspace
@@ -204,7 +208,7 @@ def main():
 
                 results["edgefeat"] = chained(ef_step, pos_s, args.reps)
 
-            if "msg1" in comps:
+            if any(c in comps for c in ("msg1", "msg1k", "msg1kng")):
                 from jamun_tpu.ops.fast_uvu import fast_uvu_messages_nbr
 
                 S, V = 120, 32
@@ -219,16 +223,41 @@ def main():
                 w1 = jax.random.normal(key, (64, 64), jnp.bfloat16) * 0.1
                 w2 = jax.random.normal(key, (64, 2 * S + 3 * V), jnp.bfloat16) * 0.1
 
-                def msg_step(state, i):
-                    x = state
-                    h = jax.nn.silu(at0 @ w1)
-                    w = h @ w2  # [G, N, K, 2S+3V]
-                    out, deg = fast_uvu_messages_nbr(
-                        x, sh0, w, idx0, m0.astype(jnp.bfloat16), S=S, V=V
-                    )
-                    return x + 1e-9 * out[..., :C]
+                if "msg1" in comps:
+                    def msg_step(state, i):
+                        x = state
+                        h = jax.nn.silu(at0 @ w1)
+                        w = h @ w2  # [G, N, K, 2S+3V]
+                        out, deg = fast_uvu_messages_nbr(
+                            x, sh0, w, idx0, m0.astype(jnp.bfloat16), S=S, V=V
+                        )
+                        return x + 1e-9 * out[..., :C]
 
-                results["msg1"] = chained(msg_step, x0, args.reps)
+                    results["msg1"] = chained(msg_step, x0, args.reps)
+
+                if "msg1kng" in comps:
+                    # timing diagnostic: whole kernel minus the one-hot gather
+                    # (wrong results; separate process from msg1k — the jit
+                    # trace caches the flag)
+                    import jamun_tpu.ops.pallas.nbr_conv as _nbrmod
+
+                    _nbrmod._TIMING_SKIP_GATHER = True
+                if "msg1k" in comps or "msg1kng" in comps:
+                    from jamun_tpu.ops.pallas.nbr_conv import nbr_uvu_conv
+
+                    def msgk_step(state, i):
+                        x = state
+                        out, deg = nbr_uvu_conv(
+                            x, sh0, at0, idx0, m0.astype(jnp.bfloat16),
+                            w1.astype(jnp.float32), jnp.zeros(64),
+                            w2.astype(jnp.float32), jnp.zeros(2 * S + 3 * V),
+                            S=S, V=V, compute_dtype=jnp.bfloat16,
+                        )
+                        return x + 1e-9 * out[..., :C].astype(x.dtype)
+
+                    results["msg1kng" if "msg1kng" in comps else "msg1k"] = chained(
+                        msgk_step, x0, args.reps
+                    )
 
         if "score" in comps:
             def score_step(state, i):
@@ -238,7 +267,30 @@ def main():
 
             results["score"] = chained(score_step, batch.pos, args.reps)
 
+        if "scorek" in comps:
+            arch_k = E3Conv(tensor_product="uvu", dtype=jnp.bfloat16, use_pallas=True)
+            den_k = Denoiser(arch_k, DenoiserConfig(max_radius=1.0, average_squared_distance=0.5))
+
+            def scorek_step(state, i):
+                y = state
+                s = den_k.score(params, batch.replace_pos(y), SIGMA)
+                return y + 1e-9 * s
+
+            results["scorek"] = chained(scorek_step, batch.pos, args.reps)
+
+        walk_variants = []
         if "walkstep" in comps:
+            walk_variants.append(("walkstep", den, 0.0))
+        if "walkstepc" in comps:
+            walk_variants.append(("walkstepc", den, args.skin))
+        if "walkstepk" in comps or "walkstepkc" in comps:
+            arch_wk = E3Conv(tensor_product="uvu", dtype=jnp.bfloat16, use_pallas=True)
+            den_wk = Denoiser(arch_wk, DenoiserConfig(max_radius=1.0, average_squared_distance=0.5))
+            if "walkstepk" in comps:
+                walk_variants.append(("walkstepk", den_wk, 0.0))
+            if "walkstepkc" in comps:
+                walk_variants.append(("walkstepkc", den_wk, args.skin))
+        for wname, wden, wskin in walk_variants:
             from jamun_tpu.sampling.mcmc import BAOAB, MCMCConfig
 
             mcmc = BAOAB(
@@ -246,12 +298,20 @@ def main():
                            save_every_n_steps=args.reps, score_fn_clip=100.0)
             )
 
-            @jax.jit
-            def walk(y0, key):
-                def score_fn(y):
-                    return den.score(params, batch.replace_pos(y), SIGMA)
+            cached = (
+                wden.make_neighbor_cached_score(params, batch, SIGMA, wskin)
+                if wskin > 0
+                else None
+            )
 
-                y, v, yt, st = mcmc(key, y0, score_fn, v_init="gaussian", mask=mask)
+            @jax.jit
+            def walk(y0, key, _wden=wden, _cached=cached):
+                def score_fn(y):
+                    return _wden.score(params, batch.replace_pos(y), SIGMA)
+
+                y, v, yt, st = mcmc(
+                    key, y0, score_fn, v_init="gaussian", mask=mask, cached_score=_cached
+                )
                 return y
 
             y0 = batch.pos
@@ -267,7 +327,7 @@ def main():
                     times.append(dt)
                 if len(times) >= 2:
                     break
-            results["walkstep"] = min(times) / args.reps if times else float("nan")
+            results[wname] = min(times) / args.reps if times else float("nan")
 
         print(f"\nN={N} G={G} (ms/call, {args.reps}-chained):")
         for k, v in results.items():

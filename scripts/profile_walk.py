@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--stack", action="store_true")
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--out", default="/tmp/jaxprof")
+    ap.add_argument("--chain-geom", action="store_true",
+                    help="worm-like-chain positions (sparse-regime geometry)")
+    ap.add_argument("--skin", type=float, default=0.0,
+                    help=">0: Verlet-cached neighbor lists with this skin (nm)")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
     pad = args.pad or args.n
@@ -88,6 +92,10 @@ def main():
         num_graphs=args.chains, max_nodes=pad,
         nodes_per_graph=[args.n] * args.chains, max_bonds=2 * pad, scale=0.35,
     )
+    if args.chain_geom:
+        from jamun_tpu.utils.testing import make_chain_positions
+
+        batch = batch.replace(pos=jnp.asarray(make_chain_positions(args.chains, pad, seed=0)))
     params = den.init(jax.random.PRNGKey(0), batch)
     mask = batch.node_mask[..., None].astype(batch.pos.dtype)
     sigma = 0.04
@@ -98,12 +106,20 @@ def main():
         )
     )
 
+    cached = (
+        den.make_neighbor_cached_score(params, batch, sigma, args.skin)
+        if args.skin > 0
+        else None
+    )
+
     @jax.jit
     def walk(params, y0, key):
         def score_fn(y):
             return den.score(params, batch.replace_pos(y), sigma)
 
-        y, v, y_traj, s_traj = mcmc(key, y0, score_fn, v_init="gaussian", mask=mask)
+        y, v, y_traj, s_traj = mcmc(
+            key, y0, score_fn, v_init="gaussian", mask=mask, cached_score=cached
+        )
         return y
 
     y0 = batch.pos

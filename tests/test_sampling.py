@@ -11,7 +11,7 @@ from jamun_tpu.sampling.mcmc import ABOBA, BAOAB, MCMCConfig, make_processed_sco
 def test_score_clipping():
     fn = make_processed_score_fn(lambda y: y * 100.0, inverse_temperature=2.0, score_fn_clip=1.0)
     y = jnp.asarray([[3.0, 4.0, 0.0]])  # score norm 500 -> clipped to 1, *2
-    s, orig = fn(y)
+    s, orig, _ = fn(y)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(s)), 2.0, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(orig), [[300.0, 400.0, 0.0]], rtol=1e-5)
 
