@@ -204,14 +204,31 @@ def bwd_residuals_enabled(n_atoms: int):
         return False
     if v != "auto":
         raise ValueError(f"JAMUN_BWD_RESID={v!r} (want auto/1/light/0)")
-    return n_atoms <= 64
+    if n_atoms <= 64:
+        return True
+    if n_atoms <= 128:
+        # round-5 measurement (BENCH_NOTES round 4c): at N=112 b=32, light
+        # mode with K_bwd=8 runs 14.16 ms/step vs the full-recompute K=16
+        # path's 15.44 (-8.3%) AND takes the backward off the 127 MB
+        # scoped-VMEM cliff (full residuals need 227 MB; light at K=16 still
+        # misses the 128 MiB part by 1.7-2.9 MB — the K=8 pairing below is
+        # what makes it fit).
+        return "light"
+    return False
 
 
-def _default_k_bwd() -> int:
+def _default_k_bwd(n_atoms: int | None = None) -> int:
     """Backward-kernel K: 16 measured 27% faster than 8 at batch 32 (the
-    bwd program amortizes its larger fixed state over more graphs).
+    bwd program amortizes its larger fixed state over more graphs) — except
+    at N > 64, where the light-residual default (see `bwd_residuals_enabled`)
+    only fits the 128 MiB part at K=8 (measured round 4c: K=16 light OOMs
+    VMEM by 1.7 MB; K=8 light compiles and wins).
     JAMUN_KGRAPHS_BWD overrides (process-start only)."""
-    return _env_k("JAMUN_KGRAPHS_BWD", 16)
+    import os
+
+    if "JAMUN_KGRAPHS_BWD" in os.environ:
+        return _env_k("JAMUN_KGRAPHS_BWD", 16)
+    return 8 if (n_atoms is not None and n_atoms > 64) else 16
 
 
 def _pad16(c: int) -> int:
@@ -2062,7 +2079,7 @@ def packed_conv_block_bwd(
     Scp, Gtp, Vgp = _pad16(Sc), _pad16(Gt), _pad16(Vg)
 
     if graphs_per_program is None:
-        graphs_per_program = _default_k_bwd()
+        graphs_per_program = _default_k_bwd(N)
     K = max(1, min(graphs_per_program, G))
     Gp = ((G + K - 1) // K) * K
     padg = Gp - G

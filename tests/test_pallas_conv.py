@@ -545,7 +545,10 @@ def test_bwd_residuals_policy(monkeypatch):
     monkeypatch.delenv("JAMUN_BWD_RESID", raising=False)
     assert pc.bwd_residuals_enabled(48) is True      # 4AA bucket
     assert pc.bwd_residuals_enabled(64) is True
-    assert pc.bwd_residuals_enabled(112) is False    # 5AA: VMEM-bound bwd
+    assert pc.bwd_residuals_enabled(112) == "light"  # 5AA: O(N) residuals
+    # (paired with K_bwd=8 — K=16 light misses the 128 MiB part, round 4c)
+    assert pc._default_k_bwd(112) == 8 and pc._default_k_bwd(48) == 16
+    assert pc.bwd_residuals_enabled(256) is False    # tiled path never reads this
 
     # process-constant guard: flipping the env mid-process raises
     monkeypatch.setenv("JAMUN_BWD_RESID", "0")
