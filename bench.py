@@ -256,6 +256,8 @@ def extra_size_metrics():
     CONFIGS = [
         ("2AA", 256, 19, 2.2, "stack"),       # N<=64: whole-model stack kernel
         ("5AA", 128, 112, 7.5, "layerwise"),  # per-layer fused kernels
+        ("N512_sparse", 8, 512, None, "nbr"),   # capped-K sparse path, the
+        # strongest kernel+Verlet gain (1.63x same-session, round 5a)
         ("N1024_sparse", 2, 1024, None, "nbr"),  # capped-K sparse path (G=2:
         # the measured per-sample optimum for the dense-HBM-bound gather path)
     ]
