@@ -149,3 +149,21 @@ def test_cached_kernel_geom_parity(monkeypatch):
     ref = den_x.xhat(params, batch, SIGMA, nbr_cache=cache)
     out = den_k.xhat(params, batch, SIGMA, nbr_cache=cache)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_neighbor_skin_config_plumbing():
+    """The neighbor_skin knob flows from the sample config tree into the
+    instantiated SingleMeasurementSampler (sample_idrome sets 1.0; the base
+    default is 0.0 = off)."""
+    import os
+
+    from jamun_tpu.config.compose import compose
+    from jamun_tpu.config.instantiate import instantiate
+
+    defaults = os.path.join(os.path.dirname(__file__), "..", "jamun_tpu", "config", "defaults")
+    cfg = compose(defaults, "sample", ["neighbor_skin=0.7"])
+    smp = instantiate(cfg["batch_sampler"])
+    assert isinstance(smp, SingleMeasurementSampler)
+    assert smp.neighbor_skin == 0.7
+    cfg0 = compose(defaults, "sample", [])
+    assert instantiate(cfg0["batch_sampler"]).neighbor_skin == 0.0
